@@ -1,0 +1,299 @@
+"""Taxim optical simulation: height map -> tactile RGB, batched, TPU-first.
+
+Re-implements the GelSight optical model of the reference's Taxim port
+(algorithm spec: reference source/tacex/.../gpu_taxim/sim/taxim_jax.py:159-467
+and taxim_torch.py:432-503) as pure batched JAX functions:
+
+  1. gel-pad deformation: clamp object height map against the gel rest
+     surface, then a masked Gaussian-pyramid relaxation approximating
+     soft-body deformation;
+  2. surface normals by central differences -> gradient (magnitude, direction);
+  3. per-pixel shading: discretize gradients into a (num_bins x num_bins) bin
+     grid, look up 6 polynomial coefficients per RGB channel, evaluate the
+     quadratic [x^2, y^2, xy, x, y, 1] model in full-resolution pixel
+     coordinates;
+  4. optional shadow pass: ray-march attenuation values from contact-boundary
+     pixels along calibrated light directions, composited with scatter-min;
+  5. add background frame, clip to [0, 1].
+
+Differences from the reference implementation (deliberate, for TPU):
+  * natively batched over a leading env axis — no python-side vmap per image;
+    all reductions/blurs/gathers carry the batch dim so XLA tiles them onto
+    the VPU/MXU in one program;
+  * separable 1-D convolutions instead of FFT 2-D convolutions for all blurs;
+  * the shadow pass is restructured as a static-shape fori_loop over ray-march
+    steps with a full-image scatter-min per step (the reference's "fast" path
+    uses a data-dependent while_loop over extracted contact pixels, which
+    forces dynamic shapes — hostile to XLA);
+  * no NaN-sentinel + lax.cond for optional press depth: optionality is
+    resolved statically at trace time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ....ops.blur import box_dilate, gaussian_blur
+from .calib import SHADOW_DEPTH_0, SHADOW_HEIGHT_IDX_OFFSET, TaximCalib
+
+
+def shift_height_map(height_map: jax.Array, press_depth_mm: jax.Array) -> jax.Array:
+    """Place the object so its closest point is ``press_depth_mm`` below the
+    gel top (reference taxim_jax.py:394-403). ``press_depth_mm``: (...,)."""
+    hm_min = height_map.min(axis=(-2, -1), keepdims=True)
+    return height_map - hm_min - press_depth_mm[..., None, None]
+
+
+def compute_gel_deformation(calib: TaximCalib, height_map: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Deform the gel pad under the object height map.
+
+    Args:
+      height_map: (..., h, w) mm; 0 = gel top plane, negative = penetration.
+    Returns:
+      (deformed_gel (..., h, w) mm, contact_mask (..., h, w) bool).
+    Reference semantics: taxim_jax.py:405-437.
+    """
+    shape = height_map.shape[-2:]
+    sim = calib.sim_params
+    pressing_depth = -height_map.min(axis=(-2, -1), keepdims=True)
+    contact_mask = height_map < 0
+
+    gel_map = calib.gel_map  # (h, w), max 0
+    joined = jnp.minimum(height_map, gel_map)
+
+    # Slightly shrunken contact mask: pixels pressed deeper than
+    # contact_scale * press_depth stay pinned to the object surface.
+    mask = ((joined - gel_map) < -pressing_depth * sim.contact_scale) & contact_mask
+
+    blurred = joined
+    for sigma in sim.deform_pyramid_sigma(shape):
+        blurred = gaussian_blur(blurred, sigma)
+        blurred = jnp.where(mask, joined, blurred)
+    blurred = gaussian_blur(blurred, sim.deform_final_sigma(shape))
+    return blurred, mask
+
+
+def generate_normals(calib: TaximCalib, height_map_px: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Gradient magnitude/direction maps by central differences.
+
+    ``height_map_px``: (..., h, w) in *pixel* height units (mm / pixmm),
+    negated so that bumps point up (reference taxim_jax.py:439-467).
+    Gradients are rescaled into full-calibration-resolution pixel units so
+    binning is resolution independent.
+    """
+    h, w = height_map_px.shape[-2:]
+    full_h, full_w = calib.sensor_params.height, calib.sensor_params.width
+    top = height_map_px[..., 0 : h - 2, 1 : w - 1]
+    bot = height_map_px[..., 2:h, 1 : w - 1]
+    left = height_map_px[..., 1 : h - 1, 0 : w - 2]
+    right = height_map_px[..., 1 : h - 1, 2:w]
+    dzdx = (bot - top) * (0.5 * h / full_h)
+    dzdy = (right - left) * (0.5 * w / full_w)
+
+    # NaN-safe formulation (double-where): sqrt'(0) and atan2's partials at
+    # (0, 0) are NaN, and reverse-mode would propagate them even through the
+    # unselected branch of a single where.
+    mag2 = dzdx * dzdx + dzdy * dzdy
+    nz = mag2 > 0
+    mag_tan = jnp.sqrt(jnp.where(nz, mag2, 1.0))
+    mag_tan = jnp.where(nz, mag_tan, 0.0)
+    grad_mag = jnp.arctan(mag_tan)
+    sx = jnp.where(nz, dzdx, 1.0)
+    sy = jnp.where(nz, dzdy, 1.0)
+    grad_dir = jnp.where(nz, jnp.arctan2(sx, sy), 0.0)
+
+    pad = [(0, 0)] * (height_map_px.ndim - 2) + [(1, 1), (1, 1)]
+    return jnp.pad(grad_mag, pad, mode="edge"), jnp.pad(grad_dir, pad, mode="edge")
+
+
+def _features(calib: TaximCalib, shape: tuple[int, int]) -> jax.Array:
+    """Quadratic pixel-coordinate features (h, w, 6) in full-res units.
+
+    Static per resolution — constant-folded under jit.
+    """
+    h, w = shape
+    full_h, full_w = calib.sensor_params.height, calib.sensor_params.width
+    yy, xx = np.meshgrid(
+        np.linspace(0, full_h, h, endpoint=False, dtype=np.float32),
+        np.linspace(0, full_w, w, endpoint=False, dtype=np.float32),
+        indexing="ij",
+    )
+    feats = np.stack([xx * xx, yy * yy, xx * yy, xx, yy, np.ones_like(xx)], axis=-1)
+    return jnp.asarray(feats)
+
+
+def shade(
+    calib: TaximCalib,
+    grad_mag: jax.Array,
+    grad_dir: jax.Array,
+    interp: str = "nearest",
+) -> jax.Array:
+    """Polynomial-LUT shading: gradients -> RGB delta over background.
+
+    (..., h, w) -> (..., h, w, 3). Reference: taxim_jax.py:176-199.
+
+    ``interp='nearest'`` reproduces the reference's floor-binned lookup
+    (piecewise-constant in the gradients — zero gradient flow).
+    ``interp='bilinear'`` interpolates the LUT over (magnitude, direction)
+    bins — an extension beyond the reference that makes the optical model
+    differentiable w.r.t. the height map (direction axis wraps periodically).
+    """
+    nb = calib.sensor_params.num_bins
+    x_binr = 0.5 * jnp.pi / (nb - 1)
+    y_binr = 2.0 * jnp.pi / (nb - 1)
+    lut = calib.poly_lut.reshape(nb * nb, 18)
+    feats = _features(calib, grad_mag.shape[-2:])  # (h, w, 6)
+
+    if interp == "nearest":
+        idx_mag = jnp.clip(jnp.floor(grad_mag / x_binr).astype(jnp.int32), 0, nb - 1)
+        idx_dir = jnp.clip(jnp.floor((grad_dir + jnp.pi) / y_binr).astype(jnp.int32), 0, nb - 1)
+        coeffs = jnp.take(lut, idx_mag * nb + idx_dir, axis=0)
+        coeffs = coeffs.reshape(coeffs.shape[:-1] + (6, 3))
+        return jnp.einsum("hwk,...hwkc->...hwc", feats, coeffs)
+
+    assert interp == "bilinear", interp
+    t_mag = jnp.clip(grad_mag / x_binr, 0.0, nb - 1 - 1e-6)
+    t_dir = (grad_dir + jnp.pi) / y_binr  # periodic
+    m0 = jnp.floor(t_mag).astype(jnp.int32)
+    d0 = jnp.floor(t_dir).astype(jnp.int32)
+    fm = (t_mag - m0)[..., None]
+    fd = (t_dir - d0)[..., None]
+    m1 = jnp.minimum(m0 + 1, nb - 1)
+    d0w = jnp.mod(d0, nb)
+    d1w = jnp.mod(d0 + 1, nb)
+
+    def g(mi, di):
+        c = jnp.take(lut, mi * nb + di, axis=0)
+        return c
+
+    c00, c01 = g(m0, d0w), g(m0, d1w)
+    c10, c11 = g(m1, d0w), g(m1, d1w)
+    c = (
+        c00 * (1 - fm) * (1 - fd)
+        + c01 * (1 - fm) * fd
+        + c10 * fm * (1 - fd)
+        + c11 * fm * fd
+    )
+    c = c.reshape(c.shape[:-1] + (6, 3))
+    return jnp.einsum("hwk,...hwkc->...hwc", feats, c)
+
+
+def _shadow_pass(
+    calib: TaximCalib,
+    sim_img: jax.Array,  # (h, w, 3) raw shaded (no background)
+    deformed_gel_px: jax.Array,  # (h, w)
+    contact_mask: jax.Array,  # (h, w) bool
+    grad_dir: jax.Array,  # (h, w)
+) -> jax.Array:
+    """Cast shadows from contact-boundary pixels (single image).
+
+    Static shapes throughout: loops over the (bounded) ray-march step count
+    with a full-image scatter-min per step. Reference: taxim_jax.py:206-304.
+    """
+    h, w = deformed_gel_px.shape
+    sim = calib.sim_params
+
+    # Grow the contact mask by the attachment kernel; the boundary ring is
+    # where shadows attach.
+    ks_w, ks_h = sim.shadow_attachment_kernel_size((h, w))
+    total = (int(round(ks_h * 2)), int(round(ks_w * 2)))
+    first = (total[0] // 2, total[1] // 2)
+    second = (total[0] - first[0], total[1] - first[1])
+    enlarged = box_dilate(box_dilate(contact_mask, first), second)
+    boundary = enlarged & ~contact_mask  # (h, w)
+
+    # Per-pixel shadow-table row selection.
+    norm_idx = jnp.floor((grad_dir + jnp.pi) / sim.discretize_precision).astype(jnp.int32)
+    norm_idx = jnp.clip(norm_idx, 0, calib.shadow_table.shape[0] - 1)
+
+    contact_height = calib.gel_map - deformed_gel_px * calib.sensor_params.pixmm
+    height_idx = jnp.floor((contact_height - SHADOW_DEPTH_0) / sim.height_precision).astype(jnp.int32)
+    height_idx = height_idx + SHADOW_HEIGHT_IDX_OFFSET
+    max_h_idx = calib.shadow_table.shape[1] - 1
+    height_idx = jnp.where((height_idx < 0) | (height_idx >= max_h_idx), max_h_idx, height_idx)
+
+    table_sel = calib.shadow_table[norm_idx, height_idx]  # (h, w, L, 3)
+    thetas = calib.shadow_fan_angles[norm_idx]  # (h, w, R)
+    num_steps = table_sel.shape[-2]
+
+    step_w, step_h = sim.shadow_step((h, w))
+    yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+    cos_t, sin_t = jnp.cos(thetas), jnp.sin(thetas)  # (h, w, R)
+
+    def step_body(s, img):
+        # Targets for every pixel and ray at march distance (s+1).
+        dist = (s + 1).astype(jnp.float32)
+        tx = (xx[..., None] + step_w * dist * cos_t).astype(jnp.int32)  # (h, w, R)
+        ty = (yy[..., None] + step_h * dist * sin_t).astype(jnp.int32)
+        in_bounds = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+        txc = jnp.clip(tx, 0, w - 1)
+        tyc = jnp.clip(ty, 0, h - 1)
+        # Shadow only falls on pixels higher (closer to camera) than source.
+        higher = deformed_gel_px[..., None] < deformed_gel_px[tyc, txc]
+        valid = in_bounds & boundary[..., None] & higher  # (h, w, R)
+        # Attenuation value depends only on (source pixel, step) — broadcast
+        # over rays.
+        step_vals = jax.lax.dynamic_slice_in_dim(table_sel, s, 1, axis=2)[:, :, 0, :]
+        vals = jnp.where(valid[..., None], step_vals[:, :, None, :], jnp.inf)  # (h, w, R, 3)
+        flat = tyc * w + txc  # (h, w, R)
+        img_flat = img.reshape(h * w, 3)
+        img_flat = img_flat.at[flat.reshape(-1)].min(vals.reshape(-1, 3))
+        return img_flat.reshape(h, w, 3)
+
+    return jax.lax.fori_loop(0, num_steps, step_body, sim_img)
+
+
+def render(
+    calib: TaximCalib,
+    height_map: jax.Array,
+    press_depth: jax.Array | None = None,
+    with_shadow: bool = False,
+    orig_hm_fmt: bool = False,
+    interp: str = "nearest",
+) -> jax.Array:
+    """Render tactile RGB images from height maps.
+
+    Args:
+      calib: calibration at the working resolution (``calib.at_resolution``).
+      height_map: (..., h, w) mm. 0 = top of the gel, negative = pressed in
+        (the "processed" format of reference taxim_impl.py:124-141).
+      press_depth: optional (...,) mm — if given, each height map is shifted
+        so its minimum sits ``press_depth`` below the gel top.
+      with_shadow: enable the shadow pass.
+      orig_hm_fmt: input uses original-Taxim format (inverted, shifted by the
+        gel map max).
+
+    Returns: (..., h, w, 3) float32 RGB in [0, 1].
+    """
+    lead = height_map.shape[:-2]
+    h, w = height_map.shape[-2:]
+    assert (h, w) == calib.resolution, (
+        f"height map {h, w} != calib resolution {calib.resolution}; use calib.at_resolution()"
+    )
+    hm = height_map.reshape((-1, h, w)).astype(jnp.float32)
+
+    if orig_hm_fmt:
+        hm = calib.gel_map_shift - hm
+    if press_depth is not None:
+        pd = jnp.broadcast_to(jnp.asarray(press_depth, jnp.float32), lead).reshape(-1)
+        hm = shift_height_map(hm, pd)
+
+    deformed, contact_mask = compute_gel_deformation(calib, hm)
+    deformed_px = deformed / calib.sensor_params.pixmm
+    grad_mag, grad_dir = generate_normals(calib, -deformed_px)
+    raw = shade(calib, grad_mag, grad_dir, interp=interp)  # (N, h, w, 3)
+
+    if not with_shadow:
+        img = jnp.clip(raw + calib.background, 0.0, 1.0)
+        return img.reshape(lead + (h, w, 3))
+
+    shadowed = jax.vmap(lambda im, dg, cm, gd: _shadow_pass(calib, im, dg, cm, gd))(
+        raw, deformed_px, contact_mask, grad_dir
+    )
+    shadowed = gaussian_blur(shadowed, calib.sim_params.shadow_blur_sigma((h, w)))
+    img = shadowed + calib.background
+    img = gaussian_blur(img, calib.sim_params.deform_final_sigma((h, w)))
+    return jnp.clip(img, 0.0, 1.0).reshape(lead + (h, w, 3))
