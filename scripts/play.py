@@ -1,0 +1,69 @@
+"""Roll out a (trained or random) policy and dump tactile frames.
+
+Counterpart of the reference's play.py launchers
+(reference scripts/reinforcement_learning/skrl/play.py): runs the policy
+deterministically and optionally writes tactile observation PNGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacex_tpu import envs
+from tacex_tpu.rl import PPO, PPOConfig
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="TacEx-Ball-Rolling-Taxim-Fots-v0")
+    p.add_argument("--num_envs", type=int, default=4)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--save_frames", default=None, help="dir for vision-obs PNGs (env 0)")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    env = envs.make(args.task, num_envs=args.num_envs)
+    ppo = PPO(env, PPOConfig())
+    ts = ppo.init(jax.random.PRNGKey(args.seed))
+    params = ts.params
+    if args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(Path(args.checkpoint_dir).absolute())
+        step = mgr.latest_step()
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(jax.device_get({"params": params})))
+        params = restored["params"]
+        print(f"restored checkpoint step {step}")
+
+    state = ts.env_state
+    obs = ts.obs
+    step_fn = jax.jit(env.step)
+    total_rew = np.zeros(args.num_envs)
+    frames_dir = Path(args.save_frames) if args.save_frames else None
+    if frames_dir:
+        frames_dir.mkdir(parents=True, exist_ok=True)
+
+    for i in range(args.steps):
+        action = ppo.act(params, obs, deterministic=True)
+        state, obs, reward, term, trunc, info = step_fn(state, action)
+        total_rew += np.asarray(reward)
+        if frames_dir and "vision_obs" in obs:
+            from PIL import Image
+
+            v = np.asarray(obs["vision_obs"][0])
+            if v.shape[-1] == 1:
+                v = np.repeat(v, 3, -1) / max(v.max(), 1e-6)
+            img = (np.kron(np.clip(v, 0, 1), np.ones((8, 8, 1))) * 255).astype(np.uint8)
+            Image.fromarray(img).save(frames_dir / f"frame_{i:04d}.png")
+    print(f"mean episode return over {args.steps} steps: {total_rew.mean():.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Train PPO on a TacEx-TPU task environment.
+
+Replaces the reference's per-RL-library launchers
+(reference scripts/reinforcement_learning/{skrl,rsl_rl,rl_games}/train.py):
+no app bootstrap, no vec-env wrapper — the env and trainer are jitted JAX
+programs. Multi-chip data parallelism comes from sharding the env axis
+(--shard over all visible devices).
+
+Usage:
+  python scripts/train.py --task TacEx-Ball-Rolling-Taxim-Fots-v0 \
+      --num_envs 1024 --iterations 200 --checkpoint_dir runs/br
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+
+from tacex_tpu import envs
+from tacex_tpu.rl import PPO, PPOConfig
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="TacEx-Ball-Rolling-Taxim-Fots-v0")
+    p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--iterations", type=int, default=100)
+    p.add_argument("--rollouts", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--checkpoint_interval", type=int, default=50)
+    p.add_argument("--shard", action="store_true", help="shard envs over all devices")
+    p.add_argument("--log_interval", type=int, default=1)
+    args = p.parse_args()
+
+    env = envs.make(args.task, num_envs=args.num_envs)
+    ppo = PPO(env, PPOConfig(rollouts=args.rollouts))
+    ts = ppo.init(jax.random.PRNGKey(args.seed))
+
+    if args.shard and len(jax.devices()) > 1:
+        from tacex_tpu.parallel import env_mesh, shard_env_tree
+
+        mesh = env_mesh()
+        ts = shard_env_tree(ts, mesh, args.num_envs)
+        print(f"sharded over {len(jax.devices())} devices")
+
+    ckpt_mgr = None
+    if args.checkpoint_dir:
+        import orbax.checkpoint as ocp
+
+        path = Path(args.checkpoint_dir).absolute()
+        ckpt_mgr = ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions(max_to_keep=3))
+
+    step_fn = ppo.jit_train_step()
+    t_start = time.time()
+    for it in range(args.iterations):
+        t0 = time.time()
+        ts, metrics = step_fn(ts)
+        metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        dt = time.time() - t0
+        if it % args.log_interval == 0:
+            sps = args.num_envs * args.rollouts / dt
+            print(
+                json.dumps(
+                    {
+                        "iter": it,
+                        "env_steps": int(ts.steps),
+                        "steps_per_sec": round(sps, 1),
+                        **{k: round(v, 5) for k, v in metrics.items()},
+                    }
+                ),
+                flush=True,
+            )
+        if ckpt_mgr is not None and (it + 1) % args.checkpoint_interval == 0:
+            ckpt_mgr.save(it, args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardSave(
+                jax.device_get({"params": ts.params})
+            ))
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait_until_finished()
+    print(f"done: {int(ts.steps)} env steps in {time.time() - t_start:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

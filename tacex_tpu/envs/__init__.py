@@ -1,0 +1,2 @@
+from .base import DirectRLEnv, DirectRLEnvCfg, make, register, registered_envs  # noqa: F401
+from . import ball_rolling  # noqa: F401  (registers TacEx-Ball-Rolling-*)

@@ -1,0 +1,2 @@
+from .networks import ActorCritic  # noqa: F401
+from .ppo import PPO, PPOConfig, TrainState  # noqa: F401

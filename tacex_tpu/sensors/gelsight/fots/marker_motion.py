@@ -112,11 +112,14 @@ def marker_motion(
     traj_curr: jax.Array,  # (N, 3) current relative pose
     traj_valid: jax.Array,  # (N,) bool — has a trajectory (>= 2 samples seen)
     init_markers: jax.Array,  # (M, 2)
+    sample_scale: tuple[float, float] = (1.0, 1.0),
 ) -> jax.Array:
     """Compute current marker positions for a batch of sensors.
 
     Returns (N, M, 2) marker (x, y) pixel positions. With no contact the
     markers stay at their initial grid (reference marker_motion.py:168-170).
+    ``sample_scale`` maps marker coordinates onto the depth-map grid when the
+    two live at different resolutions (depth_x = marker_x * sample_scale[0]).
     """
     n = depth_map.shape[0]
     h, w = depth_map.shape[-2:]
@@ -128,8 +131,8 @@ def marker_motion(
     d = d / 10.0
 
     # Sample contact mask / depth at (integer) marker positions.
-    mx = jnp.clip(init_markers[:, 0].astype(jnp.int32), 0, w - 1)
-    my = jnp.clip(init_markers[:, 1].astype(jnp.int32), 0, h - 1)
+    mx = jnp.clip((init_markers[:, 0] * sample_scale[0]).astype(jnp.int32), 0, w - 1)
+    my = jnp.clip((init_markers[:, 1] * sample_scale[1]).astype(jnp.int32), 0, h - 1)
     contact_at_m = contact_mask[:, my, mx]  # (N, M)
     height_at_m = d[:, my, mx]  # (N, M)
     any_contact = contact_at_m.any(axis=-1)  # (N,)

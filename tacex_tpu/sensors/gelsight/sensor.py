@@ -128,11 +128,12 @@ class GelSightSensor:
         if "height_map" in self.cfg.data_types:
             out["height_map"] = height_map
 
+        if self.cfg.optical_sim_cfg is not None:
+            indent = self.compute_indentation_depth(height_map)
+            out["indentation_depth"] = indent
+
         if not (self._optical_enabled or self._markers_enabled):
             return state, out
-
-        indent = self.compute_indentation_depth(height_map)
-        out["indentation_depth"] = indent
 
         # Resize to tactile resolution if needed.
         th, tw = self.tactile_res[1], self.tactile_res[0]
@@ -161,15 +162,20 @@ class GelSightSensor:
         if self._markers_enabled:
             in_contact = indent > 0.0
             # Contact center (mm, sensor frame) from the contact mask
-            # (reference fots_marker_sim.py:132-144).
+            # (reference fots_marker_sim.py:132-144). The marker simulation
+            # may run at a different nominal resolution than the optical path
+            # (the reference's task cfg pairs 32x24 optics with 320x240 FOTS
+            # coords); positions here are converted into marker-res pixels.
             mcfg = self.marker_cfg
+            sx = mcfg.tactile_img_width / tw
+            sy = mcfg.tactile_img_height / th
             cnt = contact_mask.sum(axis=(-2, -1))
             yy, xx = jnp.meshgrid(
                 jnp.arange(th, dtype=jnp.float32), jnp.arange(tw, dtype=jnp.float32), indexing="ij"
             )
             denom = jnp.maximum(cnt, 1)
-            cy = (contact_mask * yy).sum(axis=(-2, -1)) / denom
-            cx = (contact_mask * xx).sum(axis=(-2, -1)) / denom
+            cy = (contact_mask * yy).sum(axis=(-2, -1)) / denom * sy
+            cx = (contact_mask * xx).sum(axis=(-2, -1)) / denom * sx
             cx_mm = (cx - mcfg.tactile_img_width / 2.0) / mcfg.mm_to_pixel
             cy_mm = (cy - mcfg.tactile_img_height / 2.0) / mcfg.mm_to_pixel
             theta = obj_yaw if obj_yaw is not None else jnp.zeros((n,), jnp.float32)
@@ -191,6 +197,7 @@ class GelSightSensor:
                 traj_curr,
                 traj_valid,
                 self.init_markers,
+                sample_scale=(1.0 / sx, 1.0 / sy),
             )
             out["marker_motion"] = fots.marker_flow(self.init_markers, markers)
             state = GelSightSensorState(traj_start, traj_curr, traj_count)

@@ -137,8 +137,12 @@ def gelsight_mini_cfg(
             with_shadow=with_shadow,
             tactile_img_res=tactile_img_res,
         ),
+        # FOTS marker coordinates stay at their calibration resolution
+        # (320x240: x0/y0/mm_to_pixel are tuned for it — reference
+        # gsmini_cfg.py:61-76 keeps (320,240) even with a 32x24 camera);
+        # the sensor maps them onto whatever the optical path runs at.
         marker_motion_sim_cfg=(
-            FOTSMarkerSimulatorCfg(tactile_img_res=tactile_img_res) if with_markers else None
+            FOTSMarkerSimulatorCfg(tactile_img_res=(320, 240)) if with_markers else None
         ),
     )
     return cfg

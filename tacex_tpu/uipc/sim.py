@@ -1,0 +1,185 @@
+"""UIPC-compatible simulation facade over the batched JAX IPC solver.
+
+Preserves the public API surface of the reference's ``tacex_uipc`` layer
+(reference source/tacex_uipc/tacex_uipc/sim/uipc_sim.py:32-374:
+``UipcSimCfg`` solver knobs, ``UipcSim`` with setup/step/render-sync/
+save-replay) so scenes written against it translate directly — but the
+engine underneath is tacex_tpu.physics.soft (batched Newton IPC in XLA), not
+CUDA libuipc, and it simulates N environments at once (the reference is
+limited to one; SURVEY §7.3).
+
+Frame dump/recover (reference world.dump()/recover) becomes snapshotting the
+state pytree — exact, cheap, and device-resident.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import configclass
+from ..physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyState
+
+
+@configclass
+class UipcSimCfg:
+    """Solver config mirroring reference UipcSimCfg (uipc_sim.py:32-131)."""
+
+    dt: float = 0.01
+    gravity: tuple = (0.0, 0.0, -9.81)
+    ground_height: float = 0.0
+    ground_normal: tuple = (0.0, 0.0, 1.0)
+    enable_ground: bool = False
+    logger_level: str = "Warn"
+
+    @configclass
+    class Newton:
+        max_iter: int = 8  # reference default 1024; ~7 effective iters in its traces
+        velocity_tol: float = 0.05
+        ccd_tol: float = 1.0
+        transrate_tol: float = 0.1
+
+    @configclass
+    class LinearSystem:
+        solver: str = "linear_pcg"
+        tol_rate: float = 1e-3
+        max_iter: int = 24
+
+    @configclass
+    class LineSearch:
+        max_iter: int = 8
+        report_energy: bool = False
+
+    @configclass
+    class Contact:
+        enable: bool = True
+        friction: bool = True
+        default_friction_ratio: float = 0.5
+        resistance: float = 1e4  # barrier stiffness kappa
+        constitution: str = "ipc"
+        d_hat: float = 0.001
+        eps_velocity: float = 0.01
+
+    newton: "UipcSimCfg.Newton" = None
+    linear_system: "UipcSimCfg.LinearSystem" = None
+    line_search: "UipcSimCfg.LineSearch" = None
+    contact: "UipcSimCfg.Contact" = None
+    collision_detection_method: str = "analytic_sdf"  # reference: "linear_bvh"
+    sanity_check: bool = True
+    diff_sim: bool = False
+    num_envs: int = 1
+
+    def __post_init__(self):
+        if self.newton is None:
+            self.newton = UipcSimCfg.Newton()
+        if self.linear_system is None:
+            self.linear_system = UipcSimCfg.LinearSystem()
+        if self.line_search is None:
+            self.line_search = UipcSimCfg.LineSearch()
+        if self.contact is None:
+            self.contact = UipcSimCfg.Contact()
+
+    def to_solver_cfg(self) -> IpcSolverCfg:
+        return IpcSolverCfg(
+            dt=self.dt,
+            gravity=tuple(self.gravity),
+            newton_max_iter=self.newton.max_iter,
+            velocity_tol=self.newton.velocity_tol,
+            cg_iters=self.linear_system.max_iter,
+            line_search_iters=self.line_search.max_iter,
+            d_hat=self.contact.d_hat,
+            kappa=self.contact.resistance,
+            friction_mu=(self.contact.default_friction_ratio if self.contact.friction else 0.0),
+            eps_velocity=self.contact.eps_velocity,
+        )
+
+
+class UipcSim:
+    """Scene/world manager: owns the soft objects, steps them together.
+
+    Reference surface: setup_sim(), step(), update_render_meshes(),
+    save_frame()/replay_frame(), get_sim_time_report()
+    (uipc_sim.py:134-374).
+    """
+
+    def __init__(self, cfg: UipcSimCfg | None = None):
+        self.cfg = cfg or UipcSimCfg()
+        self.objects: list[Any] = []  # UipcObject instances
+        self._step_fn = None
+        self._frames: dict[int, list[SoftBodyState]] = {}
+        self._frame_counter = 0
+        self._timings: dict[str, float] = {}
+        self._setup = False
+
+    # -------------------------------------------------------------- scene mgmt
+    def register_object(self, obj) -> int:
+        assert not self._setup, "scene is finalized after setup_sim()"
+        self.objects.append(obj)
+        return len(self.objects) - 1
+
+    def setup_sim(self) -> None:
+        """Finalize the scene: build each object's solver model + jit step.
+
+        (Counterpart of world.init + vertex-offset bookkeeping,
+        uipc_sim.py:228-248; per-object global offsets are unnecessary here —
+        objects keep their own state pytrees.)
+        """
+        for obj in self.objects:
+            obj._finalize(self)
+        self._setup = True
+
+    # ------------------------------------------------------------------ step
+    def step(self, scene: RigidSdfScene | None = None) -> None:
+        """Advance every soft object one dt (reference step(): world.advance +
+        retrieve, uipc_sim.py:250-252)."""
+        assert self._setup, "call setup_sim() first"
+        t0 = time.perf_counter()
+        n = self.cfg.num_envs
+        if scene is None:
+            scene = RigidSdfScene.empty(n)
+        if self.cfg.enable_ground:
+            gn = np.asarray(self.cfg.ground_normal, np.float32)
+            plane = np.concatenate([gn, [self.cfg.ground_height]]).astype(np.float32)
+            planes = jnp.concatenate(
+                [scene.planes, jnp.broadcast_to(jnp.asarray(plane), (n, 1, 4))], axis=1
+            )
+            scene = dataclasses.replace(scene, planes=planes)
+        for obj in self.objects:
+            obj._advance(scene)
+        jax.block_until_ready([o.state.x for o in self.objects])
+        self._timings["step"] = time.perf_counter() - t0
+        self._frame_counter += 1
+
+    # ------------------------------------------------------------- rendering
+    def update_render_meshes(self) -> dict[int, jax.Array]:
+        """Surface vertex positions per object (N, Vs, 3) — the Fabric-sync
+        equivalent (uipc_sim.py:268-284)."""
+        return {i: obj.surface_positions() for i, obj in enumerate(self.objects)}
+
+    # ----------------------------------------------------- checkpoint / replay
+    def save_frame(self) -> int:
+        """Snapshot all object states (reference world.dump, uipc_sim.py:295)."""
+        self._frames[self._frame_counter] = [obj.state for obj in self.objects]
+        return self._frame_counter
+
+    def replay_frame(self, frame: int) -> None:
+        """Restore a snapshot (reference world.recover + retrieve)."""
+        if frame not in self._frames:
+            raise KeyError(f"no saved frame {frame}; saved: {sorted(self._frames)}")
+        for obj, st in zip(self.objects, self._frames[frame]):
+            obj.state = st
+        self._frame_counter = frame
+
+    # ------------------------------------------------------------- profiling
+    def get_sim_time_report(self, as_json: bool = False):
+        """Timing breakdown (reference Timer.report, uipc_sim.py:286-293)."""
+        report = dict(self._timings)
+        if as_json:
+            return report
+        return "\n".join(f"{k}: {v * 1e3:.2f} ms" for k, v in report.items())

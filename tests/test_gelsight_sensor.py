@@ -80,6 +80,20 @@ class TestSensorUpdate:
         cnt = np.asarray(state.traj_count)
         assert cnt[0] == 0 and cnt[1] == 1 and cnt[2] == 0 and cnt[3] == 1
 
+    def test_marker_resolution_decoupled_from_optical(self):
+        """FOTS coordinates stay at their 320x240 calibration resolution even
+        when the optical path runs at low res (the task envs use 32x24) —
+        regression test for marker-grid collapse."""
+        sensor = _make_sensor()
+        mcfg = sensor.marker_cfg
+        assert (mcfg.tactile_img_width, mcfg.tactile_img_height) == (320, 240)
+        init = np.asarray(sensor.init_markers)
+        assert init[:, 0].max() > 250 and init[:, 1].max() > 180
+        state = sensor.init_state()
+        _, out = sensor.update(state, _depth_frames((2.0,) * N))
+        mm = np.asarray(out["marker_motion"])
+        assert mm[:, 1, :, 0].max() > 250  # current markers still span 320-wide coords
+
     def test_no_marker_cfg(self):
         cfg = gelsight_mini_cfg(with_markers=False, camera_resolution=(CAM_W, CAM_H), tactile_img_res=(64, 48))
         sensor = GelSightSensor(cfg, num_envs=N)

@@ -1,0 +1,155 @@
+"""Tests for the batched IPC FEM soft-body solver.
+
+Static-press cases are checked against physical expectations (Hertz-like
+monotonicity, penetration-free invariant) — the tolerance-based golden
+strategy SURVEY §7.3 prescribes, since bit-parity with the CUDA reference is
+impossible.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacex_tpu.physics.soft import (
+    IpcSolverCfg,
+    RigidSdfScene,
+    SoftBodyModel,
+    SoftBodyState,
+    box_tet_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def gel_model():
+    mesh = box_tet_mesh(size=(0.02, 0.025, 0.0045), resolution=(4, 5, 2), center=(0, 0, -0.00225))
+    # attach the top face (z = 0) to the "sensor case"
+    top = np.where(mesh.points[:, 2] > -1e-6)[0].astype(np.int32)
+    cfg = IpcSolverCfg(dt=0.01, newton_max_iter=6, cg_iters=16)
+    return SoftBodyModel(mesh, cfg=cfg, attachment_verts=top)
+
+
+class TestMesh:
+    def test_box_mesh_well_formed(self):
+        mesh = box_tet_mesh(size=(0.02, 0.02, 0.005), resolution=(3, 3, 2))
+        assert mesh.num_vertices == 4 * 4 * 3
+        assert len(mesh.tets) == 3 * 3 * 2 * 6
+        vols = mesh.rest_volumes()
+        assert (vols > 0).all()
+        np.testing.assert_allclose(vols.sum(), 0.02 * 0.02 * 0.005, rtol=1e-5)
+        # boundary of a box: 2*(nx*ny + ny*nz + nx*nz) quads * 2 tris
+        assert len(mesh.surface_tris) == 2 * 2 * (9 + 6 + 6)
+
+    def test_surface_normals_outward(self):
+        mesh = box_tet_mesh(size=(0.02, 0.02, 0.005), resolution=(2, 2, 2))
+        p = mesh.points
+        t = mesh.surface_tris
+        n = np.cross(p[t[:, 1]] - p[t[:, 0]], p[t[:, 2]] - p[t[:, 0]])
+        centers = p[t].mean(axis=1)
+        assert (np.einsum("ij,ij->i", n, centers) > -1e-12).all()
+
+
+class TestSolver:
+    def test_attached_gel_hangs_stable(self, gel_model):
+        """Gel attached at the top under gravity: settles, doesn't fall."""
+        m = gel_model
+        n = 2
+        state = SoftBodyState.init(n, m.mesh.points)
+        aim = jnp.broadcast_to(
+            jnp.asarray(m.mesh.points[np.asarray(m.attachment_verts)]), (n, len(m.attachment_verts), 3)
+        )
+        scene = RigidSdfScene.empty(n)
+        step = jax.jit(lambda s: m.step(s, scene, aim))
+        for _ in range(10):
+            state = step(state)
+        x = np.asarray(state.x)
+        assert np.isfinite(x).all()
+        # attachment holds: top verts near their aim
+        top = np.asarray(m.attachment_verts)
+        assert np.abs(x[:, top] - np.asarray(aim)).max() < 5e-4
+        # sag is bounded (stiff gel)
+        assert (x[..., 2].min() > -0.006)
+
+    def test_press_on_sphere_no_penetration(self, gel_model):
+        """Drive the attachment down onto a rigid sphere: gel deforms but
+        surface verts never penetrate (the IPC invariant)."""
+        m = gel_model
+        n = 2
+        state = SoftBodyState.init(n, m.mesh.points)
+        top0 = jnp.asarray(m.mesh.points[np.asarray(m.attachment_verts)])
+        sph = jnp.array([[[0.0, 0.0, -0.0085, 0.004]]])  # sphere below the gel
+        scene = RigidSdfScene(
+            spheres=jnp.broadcast_to(sph, (n, 1, 4)),
+            boxes=jnp.zeros((n, 1, 10)),
+            capsules=jnp.zeros((n, 1, 8)),
+            planes=jnp.zeros((n, 1, 4)),
+        )
+        step = jax.jit(lambda s, a: m.step(s, scene, a))
+        press = 0.0
+        for i in range(12):
+            press = min(press + 0.0003, 0.003)  # ramp down 0.3 mm per step
+            aim = jnp.broadcast_to(
+                top0 - jnp.array([0.0, 0.0, press]), (n, len(m.attachment_verts), 3)
+            )
+            state = step(state, aim)
+            from tacex_tpu.ops.sdf import scene_sdf
+
+            d = jax.vmap(
+                lambda x, sp: scene_sdf(
+                    x[m.surface_verts], sp, scene.boxes[0], scene.capsules[0], scene.planes[0]
+                )
+            )(state.x, scene.spheres)
+            assert float(d.min()) > 0.0, f"penetration at step {i}: {float(d.min())}"
+        # gel bottom deformed upward around the sphere contact
+        x = np.asarray(state.x)
+        assert np.isfinite(x).all()
+        bottom_center = x[0, :, 2].min()
+        assert bottom_center > -0.0085  # held off the sphere center region
+
+    def test_deeper_press_more_contact_force(self, gel_model):
+        """Monotonicity (Hertz-like): deeper press -> more stored energy."""
+        m = gel_model
+        state0 = SoftBodyState.init(1, m.mesh.points)
+        top0 = jnp.asarray(m.mesh.points[np.asarray(m.attachment_verts)])
+        sph = jnp.array([[[0.0, 0.0, -0.0085, 0.004]]])
+        scene = RigidSdfScene(
+            spheres=sph, boxes=jnp.zeros((1, 1, 10)), capsules=jnp.zeros((1, 1, 8)), planes=jnp.zeros((1, 1, 4))
+        )
+        from tacex_tpu.physics.soft.fem import stable_neo_hookean_energy
+
+        energies = []
+        for press_total in (0.001, 0.002):
+            state = state0
+            steps = 10
+            step = jax.jit(lambda s, a: m.step(s, scene, a))
+            for i in range(steps):
+                pr = press_total * (i + 1) / steps
+                aim = (top0 - jnp.array([0.0, 0.0, pr]))[None]
+                state = step(state, aim)
+            e = stable_neo_hookean_energy(
+                state.x[0], m.tets, m.dm_inv, m.rest_vol, m.mu, m.lam
+            )
+            energies.append(float(e))
+        assert energies[1] > energies[0] > 0.0
+
+    def test_batched_envs_differ(self, gel_model):
+        """Different spheres per env -> different deformations (true batching,
+        which the reference could not do)."""
+        m = gel_model
+        n = 2
+        state = SoftBodyState.init(n, m.mesh.points)
+        top0 = jnp.asarray(m.mesh.points[np.asarray(m.attachment_verts)])
+        spheres = jnp.array(
+            [[[0.0, 0.0, -0.0085, 0.004]], [[0.003, 0.002, -0.0085, 0.0035]]]
+        )
+        scene = RigidSdfScene(
+            spheres=spheres, boxes=jnp.zeros((n, 1, 10)), capsules=jnp.zeros((n, 1, 8)), planes=jnp.zeros((n, 1, 4))
+        )
+        step = jax.jit(lambda s, a: m.step(s, scene, a))
+        for i in range(10):
+            pr = 0.002 * (i + 1) / 10
+            aim = jnp.broadcast_to(top0 - jnp.array([0.0, 0.0, pr]), (n, len(m.attachment_verts), 3))
+            state = step(state, aim)
+        x = np.asarray(state.x)
+        assert np.abs(x[0] - x[1]).max() > 1e-4
