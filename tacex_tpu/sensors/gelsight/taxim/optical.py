@@ -150,7 +150,7 @@ def shade(
     if interp == "nearest":
         idx_mag = jnp.clip(jnp.floor(grad_mag / x_binr).astype(jnp.int32), 0, nb - 1)
         idx_dir = jnp.clip(jnp.floor((grad_dir + jnp.pi) / y_binr).astype(jnp.int32), 0, nb - 1)
-        coeffs = jnp.take(lut, idx_mag * nb + idx_dir, axis=0)
+        coeffs = jnp.take(calib.poly_lut_padded, idx_mag * nb + idx_dir, axis=0)[..., :18]
         coeffs = coeffs.reshape(coeffs.shape[:-1] + (6, 3))
         return jnp.einsum("hwk,...hwkc->...hwc", feats, coeffs)
 
@@ -215,9 +215,15 @@ def _shadow_pass(
     max_h_idx = calib.shadow_table.shape[1] - 1
     height_idx = jnp.where((height_idx < 0) | (height_idx >= max_h_idx), max_h_idx, height_idx)
 
-    table_sel = calib.shadow_table[norm_idx, height_idx]  # (h, w, L, 3)
+    # Flat per-pixel row index into the shadow table; the per-step column is
+    # gathered inside the march loop — materializing the full (h, w, L, 3)
+    # selection up front (as the reference does, taxim_jax.py:238) costs
+    # L x more memory and OOMs at batch.
+    n_heights = calib.shadow_table.shape[1]
+    flat_idx = norm_idx * n_heights + height_idx  # (h, w)
+    table_flat = calib.shadow_table.reshape(-1, calib.shadow_table.shape[2], 3)
     thetas = calib.shadow_fan_angles[norm_idx]  # (h, w, R)
-    num_steps = table_sel.shape[-2]
+    num_steps = calib.shadow_table.shape[2]
 
     step_w, step_h = sim.shadow_step((h, w))
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
@@ -235,8 +241,9 @@ def _shadow_pass(
         higher = deformed_gel_px[..., None] < deformed_gel_px[tyc, txc]
         valid = in_bounds & boundary[..., None] & higher  # (h, w, R)
         # Attenuation value depends only on (source pixel, step) — broadcast
-        # over rays.
-        step_vals = jax.lax.dynamic_slice_in_dim(table_sel, s, 1, axis=2)[:, :, 0, :]
+        # over rays. Gather this step's column for every pixel.
+        col = jax.lax.dynamic_slice_in_dim(table_flat, s, 1, axis=1)[:, 0, :]  # (rows, 3)
+        step_vals = jnp.take(col, flat_idx, axis=0)  # (h, w, 3)
         vals = jnp.where(valid[..., None], step_vals[:, :, None, :], jnp.inf)  # (h, w, R, 3)
         flat = tyc * w + txc  # (h, w, R)
         img_flat = img.reshape(h * w, 3)
