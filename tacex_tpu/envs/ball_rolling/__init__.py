@@ -30,3 +30,12 @@ register(
     BallRollingEnv,
     lambda: _cfg(obs_mode="privileged", with_markers=False, action_space=5),
 )
+
+
+def _uipc_cfg():
+    return _cfg(num_envs=16, obs_mode="rgb", with_markers=False)
+
+
+from .env_uipc import BallRollingUipcEnv  # noqa: E402
+
+register("TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0", BallRollingUipcEnv, _uipc_cfg)

@@ -1,0 +1,266 @@
+"""Ball rolling with a soft FEM gel pad (UIPC env variant) — batched.
+
+TPU rebuild of the reference's ``TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0``
+(reference source/tacex_tasks/.../ball_rolling_tactile/
+ball_rolling_tactile_rgb_uipc.py: UipcRLEnv with a StableNeoHookean gel pad
+attached to the robot, ball + gelpad in the IPC world, tactile RGB obs).
+The reference runs at most ONE environment because libuipc owns a single
+scene (docs/source/showcases/ball_rolling.md:23); here the gel pad is a
+batched soft body — every env solves its own Newton system inside one
+vmapped program, which is the headline capability of this rebuild
+(SURVEY §7.3, BASELINE "Batched FEM envs > 1").
+
+Coupling model (explicit, per substep):
+  * gel top face verts are soft-position-constrained to the tool pose
+    (UipcIsaacAttachments semantics);
+  * the gel deforms against the ball + plate analytic SDFs (IPC barrier);
+  * the ball feels the gel through the compliant pad contact and the plate
+    through rigid contact (one-way pressure exchange — the two-way force
+    balance is approximated by the compliant-contact stiffness, like the
+    reference's "compliant rigid" scalable path).
+
+The tactile image is rendered from the DEFORMED FEM surface: the contact
+face of the structured gel mesh is a regular grid, so its camera-frame depth
+resamples to the sensor resolution with one bilinear resize — no
+rasterization or scattered interpolation needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...core import maths
+from ...physics.rigid import contact, franka
+from ...physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState
+from ...physics.soft.mesh import box_tet_mesh
+from ...sensors.gelsight.fem import FemMarkerFlow, ManiSkillSimulatorCfg
+from ...sensors.gelsight.sensor import GelSightSensorState
+from .env import CAM_EXTENT, GELPAD_HALF, BallRollingEnv, BallRollingEnvCfg, BallRollingState
+
+
+@dataclasses.dataclass(frozen=True)
+class _UipcCfgDefaults:
+    gel_resolution: tuple = (8, 10, 2)
+    youngs_modulus_pa: float = 1.45e5
+    poisson_ratio: float = 0.45
+    newton_iters: int = 4
+    cg_iters: int = 16
+
+
+class BallRollingUipcEnvCfg(BallRollingEnvCfg):
+    pass
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class UipcBallRollingState:
+    base: BallRollingState
+    gel: SoftBodyState
+
+
+class BallRollingUipcEnv(BallRollingEnv):
+    """FEM-gelpad variant; shares action/reward/done logic with the rigid env."""
+
+    def __init__(self, cfg: BallRollingEnvCfg | None = None, with_marker_flow: bool = True):
+        if cfg is None:
+            cfg = BallRollingEnvCfg(num_envs=16, obs_mode="rgb", with_markers=False)
+        super().__init__(cfg)
+        d = _UipcCfgDefaults()
+        gel_size = (2 * GELPAD_HALF[0], 2 * GELPAD_HALF[1], 2 * GELPAD_HALF[2])
+        # gel mesh in TOOL frame: the tool point is the gel CONTACT surface
+        # (reference ee offset (0,0,0.131) reaches the gelpad outer face), so
+        # the contact face sits at z=0 and the mount face at z=-gel_height.
+        self.gel_mesh = box_tet_mesh(
+            gel_size, d.gel_resolution, center=(0.0, 0.0, -GELPAD_HALF[2])
+        )
+        top = np.where(self.gel_mesh.points[:, 2] < -gel_size[2] + 1e-9)[0].astype(np.int32)
+        solver_cfg = IpcSolverCfg(
+            dt=cfg.sim_dt,
+            newton_max_iter=d.newton_iters,
+            cg_iters=d.cg_iters,
+            d_hat=5e-4,
+            kappa=2e4,
+        )
+        self.gel = SoftBodyModel(
+            self.gel_mesh,
+            youngs_modulus=d.youngs_modulus_pa,
+            poisson_ratio=d.poisson_ratio,
+            cfg=solver_cfg,
+            attachment_verts=top,
+        )
+        self._gel_top_rest = jnp.asarray(self.gel_mesh.points[top])
+        self._gel_rest_points = jnp.asarray(self.gel_mesh.points)
+
+        # contact-face verts form a regular (ny+1, nx+1) grid -> depth image
+        nx, ny, _ = d.gel_resolution
+        contact_ids = np.where(np.abs(self.gel_mesh.points[:, 2]) < 1e-9)[0]
+        pts = self.gel_mesh.points[contact_ids]
+        order = np.lexsort((pts[:, 0], pts[:, 1]))  # row-major: y rows, x cols
+        self._contact_grid_ids = jnp.asarray(contact_ids[order].reshape(ny + 1, nx + 1))
+
+        # FEM marker flow on the contact face (camera frame: +z from camera)
+        if with_marker_flow:
+            remap = -np.ones(self.gel_mesh.num_vertices, np.int64)
+            remap[self.gel_mesh.surface_verts] = np.arange(len(self.gel_mesh.surface_verts))
+            tris = remap[self.gel_mesh.surface_tris].astype(np.int32)
+            ocfg = self.sensor.cfg.optical_sim_cfg
+            cam_to_contact = ocfg.gelpad_to_camera_min_distance + ocfg.gelpad_height
+            rest_cam = self.gel_mesh.points[self.gel_mesh.surface_verts].copy()
+            rest_cam[:, 2] += cam_to_contact  # contact face -> z = 0.0285
+            self.marker_flow = FemMarkerFlow(
+                ManiSkillSimulatorCfg(), rest_cam.astype(np.float32), tris, seed=0
+            )
+        else:
+            self.marker_flow = None
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, key: jax.Array) -> UipcBallRollingState:
+        base = super().init_state(key)
+        gel = self._gel_world_rest_state(base)
+        return UipcBallRollingState(base=base, gel=gel)
+
+    def _gel_world_rest_state(self, base: BallRollingState) -> SoftBodyState:
+        tool_pos, tool_quat = self._tool_pose(base.arm.q)
+        x = maths.transform_points(
+            self._gel_rest_points[None], tool_pos, tool_quat
+        )  # (N, V, 3)
+        return SoftBodyState(x=x, v=jnp.zeros_like(x))
+
+    def reset_all(self, state: UipcBallRollingState):
+        base = self._reset_where(state.base, jnp.ones((self.cfg.num_envs,), bool))
+        gel = self._gel_world_rest_state(base)
+        obs, _ = self._observations(base, sensor_out=None)
+        return UipcBallRollingState(base=base, gel=gel), obs
+
+    # ------------------------------------------------------------------- step
+    def step(self, state: UipcBallRollingState, action: jax.Array):
+        c = self.cfg
+        n = c.num_envs
+        base = state.base
+        gel_state = state.gel
+        key, k_act, k_obs, k_flow = jax.random.split(base.key, 4)
+
+        prev_actions = base.actions
+        actions = jnp.clip(jnp.nan_to_num(action), -1.0, 1.0)
+        actions = actions + jax.random.uniform(
+            k_act, actions.shape, minval=-c.action_noise, maxval=c.action_noise
+        )
+        processed = actions * c.action_scale
+        if processed.shape[-1] < 6:
+            processed = jnp.pad(processed, ((0, 0), (0, 6 - processed.shape[-1])))
+
+        arm = franka.apply_delta_pose_ik(
+            franka.ArmState(base.arm.q, base.arm.qd, base.arm.q_target),
+            processed[:, :3],
+            processed[:, 3:6],
+            ee_offset_pos=self._ee_off,
+        )
+
+        ball_pos, ball_quat = base.ball_pos, base.ball_quat
+        ball_lin, ball_ang = base.ball_lin, base.ball_ang
+
+        # rigid ball substeps against plate + (compliant) gel box proxy
+        sub_dt = c.sim_dt / c.physics_substeps
+        half = jnp.asarray(GELPAD_HALF, jnp.float32)
+        for _ in range(c.physics_substeps):
+            tool_prev, _ = self._tool_pose(arm.q)
+            arm = franka.servo_step(arm, sub_dt)
+            tool_pos, tool_quat = self._tool_pose(arm.q)
+            pad_pos, pad_quat = self._gelpad_pose(tool_pos, tool_quat)
+            pad_vel = (tool_pos - tool_prev) / sub_dt
+
+            ball_lin = ball_lin + jnp.array([0.0, 0.0, -9.81]) * sub_dt
+            dl, da = contact.sphere_box_contact(
+                ball_pos, ball_lin, ball_ang, pad_pos, pad_quat, pad_vel,
+                half, self.ball_params, sub_dt, stiffness_scale=c.gel_compliance,
+            )
+            ball_lin, ball_ang = ball_lin + dl, ball_ang + da
+            dl, da = contact.sphere_plane_contact(
+                ball_pos, ball_lin, ball_ang, (0.0, 0.0, 1.0), c.plate_top_z,
+                self.ball_params, sub_dt,
+            )
+            ball_lin, ball_ang = ball_lin + dl, ball_ang + da
+            ball_pos = ball_pos + ball_lin * sub_dt
+            wq = jnp.concatenate([jnp.zeros_like(ball_ang[..., :1]), ball_ang], -1)
+            ball_quat = maths.quat_normalize(ball_quat + 0.5 * sub_dt * maths.quat_mul(wq, ball_quat))
+
+        # ---------------- FEM gel step (one dt): deform against ball + plate
+        tool_pos, tool_quat = self._tool_pose(arm.q)
+        aim = maths.transform_points(self._gel_top_rest[None], tool_pos, tool_quat)
+        scene = RigidSdfScene(
+            spheres=jnp.concatenate([ball_pos, jnp.full((n, 1), c.ball_radius)], -1)[:, None, :],
+            boxes=jnp.zeros((n, 1, 10)),
+            capsules=jnp.zeros((n, 1, 8)),
+            planes=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0, c.plate_top_z]), (n, 1, 4)),
+        )
+        gel_state = self.gel.step(gel_state, scene, aim)
+
+        # ---------------- tactile from the deformed FEM surface
+        cam_pos, cam_quat = self._camera_pose(tool_pos, tool_quat)
+        grid_world = gel_state.x[:, self._contact_grid_ids.reshape(-1)]  # (N, G, 3)
+        grid_cam = maths.quat_apply_inverse(cam_quat[:, None], grid_world - cam_pos[:, None])
+        gh, gw = self._contact_grid_ids.shape
+        depth_grid = grid_cam[..., 2].reshape(n, gh, gw)
+        res_w, res_h = self.cfg.camera_resolution
+        depth = jax.image.resize(depth_grid, (n, res_h, res_w), method="linear")
+
+        rel_yaw = maths.yaw_from_quat(maths.quat_mul(maths.quat_conjugate(tool_quat), ball_quat))
+        sensor_state, sensor_out = self.sensor.update(base.sensor, depth, obj_yaw=rel_yaw)
+
+        if self.marker_flow is not None:
+            surf_world = gel_state.x[:, self.gel.surface_verts]
+            surf_cam = maths.quat_apply_inverse(cam_quat[:, None], surf_world - cam_pos[:, None])
+            sensor_out["marker_flow"] = self.marker_flow.flow(surf_cam, k_flow)
+
+        base = BallRollingState(
+            arm=arm, ball_pos=ball_pos, ball_quat=ball_quat, ball_lin=ball_lin, ball_ang=ball_ang,
+            sensor=sensor_state, goal_pos=base.goal_pos, actions=actions, prev_actions=prev_actions,
+            episode_length=base.episode_length + 1, total_episode_rew=base.total_episode_rew,
+            curriculum=base.curriculum, key=key,
+        )
+
+        # dones / rewards (same logic as rigid variant)
+        obj = ball_pos
+        oob = (
+            (obj[:, 0] < c.x_bounds[0]) | (obj[:, 0] > c.x_bounds[1])
+            | (obj[:, 1] < c.y_bounds[0]) | (obj[:, 1] > c.y_bounds[1])
+        )
+        obj_goal_dist = jnp.linalg.norm(base.goal_pos - obj[:, :2], axis=-1)
+        down = maths.quat_apply(tool_quat, jnp.array([0.0, 0.0, 1.0]))
+        tilt = jnp.arccos(jnp.clip(-down[:, 2], -1.0, 1.0))
+        terminated = (
+            oob
+            | (obj_goal_dist > 0.75)
+            | (jnp.linalg.norm(obj - tool_pos, axis=-1) > c.too_far_away_threshold)
+            | (tilt > np.pi / 4)
+            | (tool_pos[:, 2] < c.min_height_threshold)
+        )
+        truncated = base.episode_length >= c.max_episode_length - 1
+
+        reward, rew_info = self._rewards(base, tool_pos, tool_quat, tilt, sensor_out, obj_goal_dist)
+        base = dataclasses.replace(
+            base,
+            total_episode_rew=base.total_episode_rew + reward,
+            curriculum=self._update_curriculum(base),
+        )
+
+        done = terminated | truncated
+        base = self._reset_where(base, done)
+        # gel reset: re-pose the rest mesh at the (possibly reset) tool pose
+        rest_gel = self._gel_world_rest_state(base)
+        m = done[:, None, None]
+        gel_state = SoftBodyState(
+            x=jnp.where(m, rest_gel.x, gel_state.x),
+            v=jnp.where(m, 0.0, gel_state.v),
+        )
+
+        obs, _ = self._observations(base, sensor_out=sensor_out, obs_key=k_obs)
+        info = {"log": rew_info, "indentation_depth": sensor_out["indentation_depth"]}
+        if "marker_flow" in sensor_out:
+            info["marker_flow"] = sensor_out["marker_flow"]
+        return UipcBallRollingState(base=base, gel=gel_state), obs, reward, terminated, truncated, info

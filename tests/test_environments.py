@@ -13,11 +13,11 @@ import jax.numpy as jnp
 
 from tacex_tpu import envs
 
-STEPS = 10
+STEPS = 5
 
 
 @pytest.mark.parametrize("env_id", envs.registered_envs())
-@pytest.mark.parametrize("num_envs", [1, 8])
+@pytest.mark.parametrize("num_envs", [1, 4])
 def test_random_actions_no_nans(env_id, num_envs):
     env = envs.make(env_id, num_envs=num_envs)
     key = jax.random.PRNGKey(0)
