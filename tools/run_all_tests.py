@@ -1,0 +1,67 @@
+"""Subprocess-per-file test runner with per-file timeouts and a summary table.
+
+Counterpart of the reference's tools/run_all_tests.py + tools/test_settings.py
+(per-file timeouts, PrettyTable report). Each test file runs in its own
+interpreter (isolating jax/XLA state) on the CPU backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+DEFAULT_TIMEOUT = 600
+PER_FILE_TIMEOUTS = {
+    "test_environments.py": 900,
+    "test_taxim_optical.py": 600,
+}
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--pattern", default="test_*.py")
+    args = p.parse_args()
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # tests run on CPU
+    env["JAX_PLATFORMS"] = "cpu"
+
+    files = sorted((REPO / "tests").glob(args.pattern))
+    rows = []
+    any_failed = False
+    for f in files:
+        timeout = PER_FILE_TIMEOUTS.get(f.name, DEFAULT_TIMEOUT)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", str(f), "-q", "--no-header"],
+                cwd=REPO,
+                env=env,
+                timeout=timeout,
+                capture_output=True,
+                text=True,
+            )
+            ok = r.returncode == 0
+            tail = (r.stdout.strip().splitlines() or [""])[-1]
+        except subprocess.TimeoutExpired:
+            ok, tail = False, f"TIMEOUT after {timeout}s"
+        dt = time.time() - t0
+        rows.append((f.name, "PASS" if ok else "FAIL", f"{dt:.1f}s", tail))
+        any_failed |= not ok
+        print(f"[{'PASS' if ok else 'FAIL'}] {f.name} ({dt:.1f}s) {tail}", flush=True)
+
+    w = max(len(r[0]) for r in rows) + 2
+    print("\n" + "=" * (w + 40))
+    for name, status, dur, tail in rows:
+        print(f"{name:<{w}} {status:<6} {dur:<8} {tail}")
+    print("=" * (w + 40))
+    sys.exit(1 if any_failed else 0)
+
+
+if __name__ == "__main__":
+    main()
