@@ -115,6 +115,105 @@ def box_tet_mesh(
     )
 
 
+def voxel_tet_mesh(
+    surf_points: np.ndarray,  # (V, 3) closed surface mesh vertices
+    surf_tris: np.ndarray,  # (F, 3)
+    resolution: int = 12,
+) -> TetMesh:
+    """Tetrahedralize an arbitrary closed triangle mesh by voxelization.
+
+    The generic-mesh counterpart of the reference's wildmeshing/fTetWild
+    MeshGenerator (reference mesh_gen.py:205-266, not available here):
+    occupancy is computed by z-ray parity per (x, y) column, occupied cells
+    get the 6-tet Kuhn split with shared grid vertices. Approximates the
+    boundary to half a voxel — adequate for soft-body props; the gel pads
+    themselves use the exact structured box mesh.
+    """
+    lo = surf_points.min(axis=0)
+    hi = surf_points.max(axis=0)
+    size = hi - lo
+    h = float(size.max()) / resolution
+    dims = np.maximum((size / h).round().astype(int), 1)
+    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
+
+    # cell-center occupancy via ray parity along +z
+    cx = lo[0] + (np.arange(nx) + 0.5) * h
+    cy = lo[1] + (np.arange(ny) + 0.5) * h
+    cz = lo[2] + (np.arange(nz) + 0.5) * h
+    occ = np.zeros((nx, ny, nz), bool)
+    v0 = surf_points[surf_tris[:, 0]]
+    v1 = surf_points[surf_tris[:, 1]]
+    v2 = surf_points[surf_tris[:, 2]]
+    for ix in range(nx):
+        for iy in range(ny):
+            ox, oy = cx[ix], cy[iy]
+            # 2-D point-in-triangle of the column against each tri's xy proj
+            d = np.stack([np.full(len(v0), ox), np.full(len(v0), oy)], -1)
+            e1 = (v1 - v0)[:, :2]
+            e2 = (v2 - v0)[:, :2]
+            det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+            ok = np.abs(det) > 1e-18
+            dd = d - v0[:, :2]
+            w1 = (dd[:, 0] * e2[:, 1] - dd[:, 1] * e2[:, 0]) / np.where(ok, det, 1.0)
+            w2 = (e1[:, 0] * dd[:, 1] - e1[:, 1] * dd[:, 0]) / np.where(ok, det, 1.0)
+            hit = ok & (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1)
+            if not hit.any():
+                continue
+            zs = (
+                v0[hit][:, 2]
+                + w1[hit] * (v1 - v0)[hit][:, 2]
+                + w2[hit] * (v2 - v0)[hit][:, 2]
+            )
+            crossings = np.sort(zs)
+            # parity count of crossings below each cell center
+            below = np.searchsorted(crossings, cz)
+            occ[ix, iy] = (below % 2) == 1
+
+    if not occ.any():
+        raise ValueError("voxelization produced an empty mesh; increase resolution")
+
+    # shared grid vertices for occupied cells
+    vid_map: dict[tuple[int, int, int], int] = {}
+    points: list[tuple[float, float, float]] = []
+
+    def vid(i, j, k):
+        key = (i, j, k)
+        if key not in vid_map:
+            vid_map[key] = len(points)
+            points.append((lo[0] + i * h, lo[1] + j * h, lo[2] + k * h))
+        return vid_map[key]
+
+    corner_offsets = [
+        (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+    ]
+    kuhn = [
+        (0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+        (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6),
+    ]
+    tets = []
+    for ix, iy, iz in zip(*np.where(occ)):
+        corners = [vid(ix + a, iy + b, iz + c) for (a, b, c) in corner_offsets]
+        for a, b, c, d in kuhn:
+            tets.append((corners[a], corners[b], corners[c], corners[d]))
+
+    pts = np.asarray(points, np.float32)
+    tet_arr = np.asarray(tets, np.int32)
+    d1 = pts[tet_arr[:, 1]] - pts[tet_arr[:, 0]]
+    d2 = pts[tet_arr[:, 2]] - pts[tet_arr[:, 0]]
+    d3 = pts[tet_arr[:, 3]] - pts[tet_arr[:, 0]]
+    vol = np.einsum("ij,ij->i", np.cross(d1, d2), d3)
+    flip = vol < 0
+    tet_arr[flip, 1], tet_arr[flip, 2] = tet_arr[flip, 2].copy(), tet_arr[flip, 1].copy()
+    tris = extract_surface(tet_arr, pts)
+    return TetMesh(
+        points=pts,
+        tets=tet_arr,
+        surface_tris=tris.astype(np.int32),
+        surface_verts=np.unique(tris).astype(np.int32),
+    )
+
+
 def extract_surface(tets: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Boundary faces (appearing once), oriented outward.
 
