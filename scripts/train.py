@@ -27,6 +27,7 @@ from tacex_tpu.rl import PPO, PPOConfig
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="TacEx-Ball-Rolling-Taxim-Fots-v0")
+    p.add_argument("--algorithm", choices=["ppo", "sac"], default="ppo")
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--iterations", type=int, default=100)
     p.add_argument("--rollouts", type=int, default=64)
@@ -38,7 +39,12 @@ def main() -> None:
     args = p.parse_args()
 
     env = envs.make(args.task, num_envs=args.num_envs)
-    ppo = PPO(env, PPOConfig(rollouts=args.rollouts))
+    if args.algorithm == "sac":
+        from tacex_tpu.rl import SAC, SACConfig
+
+        ppo = SAC(env, SACConfig(rollout_steps=args.rollouts))
+    else:
+        ppo = PPO(env, PPOConfig(rollouts=args.rollouts))
     ts = ppo.init(jax.random.PRNGKey(args.seed))
 
     if args.shard and len(jax.devices()) > 1:
@@ -76,8 +82,9 @@ def main() -> None:
                 flush=True,
             )
         if ckpt_mgr is not None and (it + 1) % args.checkpoint_interval == 0:
+            params = ts.params if hasattr(ts, "params") else ts.actor_params
             ckpt_mgr.save(it, args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardSave(
-                jax.device_get({"params": ts.params})
+                jax.device_get({"params": params})
             ))
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()

@@ -39,3 +39,8 @@ def _uipc_cfg():
 from .env_uipc import BallRollingUipcEnv  # noqa: E402
 
 register("TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0", BallRollingUipcEnv, _uipc_cfg)
+register(
+    "TacEx-Ball-Rolling-Uipc-Textured-v0",
+    BallRollingUipcEnv,
+    lambda: _cfg(num_envs=16, obs_mode="camera_rgb", with_markers=False),
+)

@@ -90,7 +90,7 @@ class BallRollingEnvCfg(DirectRLEnvCfg):
     vision_obs_shape: tuple = (24, 32, 3)  # (h, w, c)
     with_markers: bool = True
     sensor_clipping: tuple = (0.015, 0.029)
-    obs_mode: str = "taxim_fots"  # taxim_fots | rgb | depth | privileged
+    obs_mode: str = "taxim_fots"  # taxim_fots | rgb | depth | privileged | camera_rgb (uipc textured)
 
     # observation layout
     proprio_dim: int = 14

@@ -264,3 +264,36 @@ class BallRollingUipcEnv(BallRollingEnv):
         if "marker_flow" in sensor_out:
             info["marker_flow"] = sensor_out["marker_flow"]
         return UipcBallRollingState(base=base, gel=gel_state), obs, reward, terminated, truncated, info
+
+    def _observations(self, state, sensor_out=None, obs_key=None):
+        if self.cfg.obs_mode == "camera_rgb" and sensor_out is not None and "marker_flow" in sensor_out:
+            # "uipc_textured" variant (reference envs/ball_rolling_uipc_texture
+            # .py:141): the sensor camera films the actual marker texture on
+            # the deformed gel. The filmed frame = dark marker dots at their
+            # FEM-advected image positions over the gel base color, shaded by
+            # the tactile response.
+            obs, aux = super()._observations(state, sensor_out=None, obs_key=obs_key)
+            c = self.cfg
+            n = c.num_envs
+            vh, vw, _ = c.vision_obs_shape
+            mf_cfg = self.marker_flow.cfg
+            curr_uv = sensor_out["marker_flow"][:, 1]  # (N, M, 2) in 320x240 coords
+            sx = vw / mf_cfg.tactile_img_res[0]
+            sy = vh / mf_cfg.tactile_img_res[1]
+            from ...sensors.gelsight.fots import marker_motion as fots
+
+            dot_cfg = fots.FOTSMarkerCfg(
+                tactile_img_width=vw,
+                tactile_img_height=vh,
+                marker_dot_radius_px=max(0.45, 3.0 * sx),
+            )
+            dots = fots.draw_marker_image(dot_cfg, curr_uv * jnp.array([sx, sy]), hw=(vh, vw))
+            rgb = sensor_out.get("tactile_rgb")
+            if rgb is not None:
+                if rgb.shape[1:3] != (vh, vw):
+                    rgb = jax.image.resize(rgb, (n, vh, vw, 3), method="linear")
+            else:
+                rgb = jnp.full((n, vh, vw, 3), 0.45)
+            obs["vision_obs"] = rgb * dots[..., None]
+            return obs, aux
+        return super()._observations(state, sensor_out=sensor_out, obs_key=obs_key)
