@@ -393,10 +393,10 @@ class FactoryEnv(DirectRLEnv):
             axis=-1,
         )
         if tactile is None:
-            vision = jnp.zeros((n,) + tuple(c.vision_obs_shape[:2]) + (3,))
+            vision = jnp.zeros((n,) + tuple(c.vision_obs_shape[:2]) + (6,))
         else:
-            # stack both fingers side by side in the channel dim mean (factory
-            # uses two separate 32x32 images; we average for a single input
-            # plane set and expose both in info)
-            vision = tactile.mean(axis=1)
+            # both finger sensors, stacked along channels: (N, 32, 32, 6)
+            # (the reference exposes two separate 32x32 tactile images,
+            # factory_env_cfg.py:192-213)
+            vision = jnp.concatenate([tactile[:, 0], tactile[:, 1]], axis=-1)
         return {"proprio_obs": proprio, "vision_obs": vision}, None

@@ -71,10 +71,13 @@ class RunningScaler:
         return RunningScaler(new_mean, new_var, tot)
 
     def scale(self, x: jax.Array) -> jax.Array:
-        return (x - self.mean) * jax.lax.rsqrt(self.var + 1e-8)
+        # variance floor: early in training (reward-sparse done storms) the
+        # running variance can collapse, exploding scaled targets and the
+        # value loss, which drives the KL-adaptive LR to its minimum
+        return (x - self.mean) * jax.lax.rsqrt(jnp.maximum(self.var, 1e-4))
 
     def unscale(self, x: jax.Array) -> jax.Array:
-        return x * jnp.sqrt(self.var + 1e-8) + self.mean
+        return x * jnp.sqrt(jnp.maximum(self.var, 1e-4)) + self.mean
 
 
 @jax.tree_util.register_dataclass

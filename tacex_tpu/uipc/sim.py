@@ -132,7 +132,43 @@ class UipcSim:
         """
         for obj in self.objects:
             obj._finalize(self)
+        if self.cfg.sanity_check:
+            self._sanity_check()
         self._setup = True
+
+    def _sanity_check(self) -> None:
+        """Validate scene consistency before solving — the counterpart of
+        libuipc's scene sanity checker (reference UipcSimCfg sanity_check,
+        uipc_sim.py:38-43,160)."""
+        problems: list[str] = []
+        for i, obj in enumerate(self.objects):
+            mesh = obj.mesh
+            vols = mesh.rest_volumes()
+            if (vols <= 0).any():
+                problems.append(f"object {i}: {(vols <= 0).sum()} non-positive tet volumes")
+            import numpy as _np
+
+            edge_min = float(
+                _np.linalg.norm(
+                    mesh.points[mesh.tets[:, 1]] - mesh.points[mesh.tets[:, 0]], axis=-1
+                ).min()
+            )
+            if self.cfg.contact.d_hat > 2 * edge_min:
+                problems.append(
+                    f"object {i}: contact.d_hat ({self.cfg.contact.d_hat:g}) exceeds 2x the "
+                    f"minimum edge length ({edge_min:g}) — barriers will act through elements"
+                )
+            if obj.model is not None and float(obj.model.masses.min()) <= 0:
+                problems.append(f"object {i}: non-positive lumped vertex mass")
+            av = obj.model.attachment_verts if obj.model is not None else None
+            if av is not None and av.shape[0] > 0:
+                import numpy as np
+
+                ids = np.asarray(av)
+                if ids.min() < 0 or ids.max() >= mesh.num_vertices:
+                    problems.append(f"object {i}: attachment vertex ids out of range")
+        if problems:
+            raise ValueError("scene sanity check failed:\n  " + "\n  ".join(problems))
 
     # ------------------------------------------------------------------ step
     def step(self, scene: RigidSdfScene | None = None) -> None:
@@ -153,8 +189,27 @@ class UipcSim:
         for obj in self.objects:
             obj._advance(scene)
         jax.block_until_ready([o.state.x for o in self.objects])
+        if self.cfg.diff_sim:  # reuse the flag to request per-step diagnostics
+            self.check_health()
         self._timings["step"] = time.perf_counter() - t0
         self._frame_counter += 1
+
+    def check_health(self) -> None:
+        """Failure detection: raise with the offending env indices if any
+        soft-body state went non-finite (solver divergence). The reference
+        has no equivalent — exceptions propagate from CUDA asserts
+        (SURVEY §5 'Failure detection: None')."""
+        import numpy as np
+
+        for i, obj in enumerate(self.objects):
+            finite = np.asarray(jax.numpy.isfinite(obj.state.x).all(axis=(1, 2)))
+            if not finite.all():
+                bad = np.where(~finite)[0].tolist()
+                raise FloatingPointError(
+                    f"soft body {i} diverged (non-finite vertices) in envs {bad} "
+                    f"at frame {self._frame_counter}; last good snapshot: "
+                    f"{max(self._frames) if self._frames else 'none'}"
+                )
 
     # ------------------------------------------------------------- rendering
     def update_render_meshes(self) -> dict[int, jax.Array]:

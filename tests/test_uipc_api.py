@@ -95,3 +95,33 @@ class TestUipcApi:
         top = att.vertex_ids
         moved = x[top, 0] - obj.mesh.points[top, 0]
         assert moved.mean() > 0.0015  # top face followed the +x aim
+
+
+class TestSanityAndHealth:
+    def test_sanity_check_flags_bad_dhat(self):
+        sim = UipcSim(UipcSimCfg(num_envs=1, contact=UipcSimCfg.Contact(d_hat=0.5)))
+        UipcObject(
+            UipcObjectCfg(mesh_cfg=TetMeshCfg(size=(0.02, 0.02, 0.004), resolution=(2, 2, 1))),
+            sim,
+        )
+        with pytest.raises(ValueError, match="d_hat"):
+            sim.setup_sim()
+
+    def test_health_check_passes_on_good_state(self):
+        sim, obj, att = _build(num_envs=1)
+        sim.setup_sim()
+        pose_p = jnp.zeros((1, 3))
+        pose_q = jnp.array([[1.0, 0, 0, 0]])
+        obj._aim_provider = lambda: att.aim_positions(pose_p, pose_q)
+        sim.step()
+        sim.check_health()  # should not raise
+
+    def test_health_check_catches_nan(self):
+        sim, obj, att = _build(num_envs=2)
+        sim.setup_sim()
+        from tacex_tpu.physics.soft.ipc import SoftBodyState
+
+        x = obj.state.x.at[1, 0, 0].set(jnp.nan)
+        obj.state = SoftBodyState(x=x, v=obj.state.v)
+        with pytest.raises(FloatingPointError, match=r"envs \[1\]"):
+            sim.check_health()
