@@ -30,6 +30,16 @@ register(
     BallRollingEnv,
     lambda: _cfg(obs_mode="privileged", with_markers=False, action_space=5),
 )
+register(
+    "TacEx-Ball-Rolling-Privileged-Reset-with-IK-v0",
+    BallRollingEnv,
+    lambda: _cfg(obs_mode="privileged", with_markers=False, action_space=5, reset_mode="ik_above"),
+)
+register(
+    "TacEx-Ball-Rolling-Privileged-Without-Reaching-v0",
+    BallRollingEnv,
+    lambda: _cfg(obs_mode="privileged", with_markers=False, action_space=5, reset_mode="ik_contact"),
+)
 
 
 def _uipc_cfg():

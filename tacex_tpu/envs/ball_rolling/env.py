@@ -85,6 +85,11 @@ class BallRollingEnvCfg(DirectRLEnvCfg):
     goal_randomization_range_x: tuple = (0.0, 0.5)
     goal_randomization_range_y: tuple = (0.0, 0.7)
 
+    # reset behavior (reference ball_rolling_privileged variants:
+    # base / reset_with_IK_solver / without_reaching)
+    reset_mode: str = "default_joints"  # default_joints | ik_above | ik_contact
+    reset_ik_height: float = 0.02  # hover height above the ball for ik_above
+
     # sensor
     camera_resolution: tuple = (32, 24)
     vision_obs_shape: tuple = (24, 32, 3)  # (h, w, c)
@@ -232,6 +237,27 @@ class BallRollingEnv(DirectRLEnv):
         new_goal = jnp.stack([ball0[0] + gx, ball0[1] + gy], -1)
 
         q0 = jnp.broadcast_to(self._q0, (n, 7))
+        if self.cfg.reset_mode != "default_joints":
+            # IK-based reset (reference reset_with_IK_solver / without_reaching
+            # variants): solve the arm toward a pose above/on the new ball.
+            hover = self.cfg.reset_ik_height if self.cfg.reset_mode == "ik_above" else 0.0002
+            target = new_ball + jnp.array([0.0, 0.0, self.cfg.ball_radius + hover])
+            down_quat = maths.quat_from_angle_axis(
+                jnp.asarray(math.pi), jnp.array([1.0, 0.0, 0.0])
+            )
+            qr = q0
+            for _ in range(10):
+                pos, quat, orig, ax = franka.forward_kinematics(qr, ee_offset_pos=self._ee_off)
+                jac = franka.geometric_jacobian(pos, orig, ax)
+                rot_err = maths.axis_angle_from_quat(
+                    maths.quat_mul(jnp.broadcast_to(down_quat, quat.shape), maths.quat_conjugate(quat))
+                )
+                qr = jnp.clip(
+                    franka.dls_ik_step(qr, target - pos, rot_err, jac),
+                    franka.Q_LOWER,
+                    franka.Q_UPPER,
+                )
+            q0 = qr
         arm = franka.ArmState(
             q=jnp.where(m1, q0, state.arm.q),
             qd=jnp.where(m1, 0.0, state.arm.qd),

@@ -23,29 +23,45 @@ class VisionEncoder(nn.Module):
 
 
 class ActorCritic(nn.Module):
-    """Shared-trunk gaussian actor + value critic over dict obs."""
+    """Gaussian actor + value critic over dict obs.
+
+    ``shared_trunk=False`` (default) gives the policy and value separate
+    towers: with a shared trunk, policy-loss gradients perturb the features
+    the critic reads, which (with KL-adaptive LR raising the step size when
+    the policy is stable) can run the critic away from its bootstrapped
+    targets. Separate towers are the standard robust choice.
+    """
 
     action_dim: int
     hidden: tuple = (256, 128, 64)
     initial_log_std: float = 0.0
     min_log_std: float = -20.0
     max_log_std: float = 2.0
+    shared_trunk: bool = False
 
-    @nn.compact
-    def __call__(self, obs: dict[str, jax.Array]):
+    def _features(self, obs):
         feats = []
         if "vision_obs" in obs:
             feats.append(VisionEncoder()(obs["vision_obs"]))
         feats.append(obs["proprio_obs"])
-        x = jnp.concatenate(feats, axis=-1)
+        return jnp.concatenate(feats, axis=-1)
+
+    def _tower(self, x):
         for h in self.hidden:
             x = nn.elu(nn.Dense(h)(x))
-        mean = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01))(x)
+        return x
+
+    @nn.compact
+    def __call__(self, obs: dict[str, jax.Array]):
+        x = self._features(obs)
+        pol = self._tower(x)
+        val = pol if self.shared_trunk else self._tower(self._features(obs))
+        mean = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01))(pol)
         log_std = self.param(
             "log_std", nn.initializers.constant(self.initial_log_std), (self.action_dim,)
         )
         log_std = jnp.clip(log_std, self.min_log_std, self.max_log_std)
-        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0))(x)[..., 0]
+        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0))(val)[..., 0]
         return mean, jnp.broadcast_to(log_std, mean.shape), value
 
 

@@ -44,6 +44,13 @@ class PPOConfig:
     clip_predicted_values: bool = True
     entropy_loss_scale: float = 0.0
     value_loss_scale: float = 1.0
+    value_preprocessor: bool = False
+    """Standardize value targets with a running scaler (skrl's
+    RunningStandardScaler). Off by default: bootstrapping GAE from unscaled
+    network values while the scaler's variance is itself driven by those
+    bootstrapped returns forms a positive feedback loop that can run away
+    under early done-storms; raw-return critics are stable on these tasks
+    (rewards are O(0.1-1))."""
     hidden: tuple = (256, 128, 64)
 
 
@@ -100,10 +107,12 @@ class PPO:
         self.env = env
         self.cfg = cfg or PPOConfig()
         self.net = ActorCritic(action_dim=env.cfg.action_space, hidden=tuple(self.cfg.hidden))
+        # lr is applied manually in the update loop (KL-adaptive); note that
+        # optax.scale_by_learning_rate would ALSO negate — composing it with a
+        # manual -lr scaling silently turns descent into ascent.
         self.tx = optax.chain(
             optax.clip_by_global_norm(self.cfg.grad_norm_clip),
             optax.scale_by_adam(),
-            optax.scale_by_learning_rate(1.0),  # lr applied manually (adaptive)
         )
 
     # ------------------------------------------------------------------ setup
@@ -150,8 +159,11 @@ class PPO:
     def _gae(self, ts: TrainState, values, rewards, dones, last_value):
         c = self.cfg
         sc = ts.value_scaler
-        values_un = sc.unscale(values)
-        last_un = sc.unscale(last_value)
+        if c.value_preprocessor:
+            values_un = sc.unscale(values)
+            last_un = sc.unscale(last_value)
+        else:
+            values_un, last_un = values, last_value
 
         def body(carry, xs):
             adv_next, v_next = carry
@@ -183,8 +195,15 @@ class PPO:
         policy_loss = -surr.mean()
 
         if c.clip_predicted_values:
-            value = old_value + jnp.clip(value - old_value, -c.value_clip, c.value_clip)
-        value_loss = c.value_loss_scale * ((ret_scaled - value) ** 2).mean()
+            # PPO2 max-of-clipped/unclipped: plain clipping (skrl-style) kills
+            # the value gradient once |target - old| > clip, and with a shared
+            # trunk the policy gradient then drifts the value head unboundedly
+            v_clipped = old_value + jnp.clip(value - old_value, -c.value_clip, c.value_clip)
+            value_loss = c.value_loss_scale * jnp.maximum(
+                (ret_scaled - value) ** 2, (ret_scaled - v_clipped) ** 2
+            ).mean()
+        else:
+            value_loss = c.value_loss_scale * ((ret_scaled - value) ** 2).mean()
 
         entropy = gaussian_entropy(log_std).mean()
         kl = ((logp - old_logp) ** 2).mean() * 0.5  # approx-KL (skrl style)
@@ -200,8 +219,12 @@ class PPO:
         obs, action, logp, value, reward, done = traj  # leaves: (T, N, ...)
 
         adv, returns = self._gae(ts, value, reward, done, last_value)
-        value_scaler = ts.value_scaler.update(returns)
-        ret_scaled = value_scaler.scale(returns)
+        if c.value_preprocessor:
+            value_scaler = ts.value_scaler.update(returns)
+            ret_scaled = value_scaler.scale(returns)
+        else:
+            value_scaler = ts.value_scaler
+            ret_scaled = returns
 
         total = c.rollouts * n
         flat = jax.tree_util.tree_map(lambda x: x.reshape((total,) + x.shape[2:]), (obs, action, logp, value, adv, ret_scaled))

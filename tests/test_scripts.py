@@ -1,0 +1,52 @@
+"""CLI smoke tests: train/list_envs/demos run end-to-end in subprocesses."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout, capture_output=True, text=True
+    )
+
+
+class TestCLIs:
+    def test_train_ppo_one_iteration(self):
+        r = _run(
+            [
+                "scripts/train.py",
+                "--task", "TacEx-Ball-Rolling-Privileged-v0",
+                "--num_envs", "8",
+                "--iterations", "2",
+                "--rollouts", "4",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert '"iter": 1' in r.stdout
+        assert "done:" in r.stdout
+
+    def test_list_envs(self):
+        r = _run(["scripts/list_envs.py"], timeout=180)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "TacEx-Ball-Rolling-Taxim-Fots-v0" in r.stdout
+        assert "TacEx-Factory-PegInsert-Direct-v0" in r.stdout
+
+    def test_benchmark_harness_small(self):
+        r = _run(
+            [
+                "scripts/benchmarking/run_ball_rolling_experiment.py",
+                "--env", "rigid", "--num_envs", "4", "--steps", "6",
+            ]
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert '"frames_per_sec"' in r.stdout
+        assert '"in_contact_frames"' in r.stdout
