@@ -13,7 +13,6 @@ from pathlib import Path
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from tacex_tpu import envs
 from tacex_tpu.rl import PPO, PPOConfig

@@ -39,8 +39,7 @@ from ...physics.rigid import contact, franka
 from ...physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState
 from ...physics.soft.mesh import box_tet_mesh
 from ...sensors.gelsight.fem import FemMarkerFlow, ManiSkillSimulatorCfg
-from ...sensors.gelsight.sensor import GelSightSensorState
-from .env import CAM_EXTENT, GELPAD_HALF, BallRollingEnv, BallRollingEnvCfg, BallRollingState
+from .env import GELPAD_HALF, BallRollingEnv, BallRollingEnvCfg, BallRollingState
 
 
 @dataclasses.dataclass(frozen=True)

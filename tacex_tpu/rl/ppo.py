@@ -16,7 +16,6 @@ for the gradient all-reduce; no explicit collectives needed (SURVEY §2.6).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax
@@ -267,7 +266,7 @@ class PPO:
             "reward_per_step": reward.mean(),
             "episode_done_frac": done.mean(),
             "lr": lr,
-            "value_mean": value_scaler.mean,
+            "value_pred_mean": value.mean(),
         }
         ts = TrainState(
             params=params,

@@ -22,7 +22,6 @@ kNN + Delaunay per frame):
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import numpy as np

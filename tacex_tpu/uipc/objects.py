@@ -16,7 +16,6 @@ initial-state reset via vertex writes. Differences by design:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import numpy as np
