@@ -183,8 +183,9 @@ class PoleBalancingEnv(DirectRLEnv):
         lin, ang = state.pole_lin, state.pole_ang
         sub_dt = c.sim_dt / c.physics_substeps
         half = jnp.asarray(GELPAD_HALF, jnp.float32)
+        tool_pos, _ = self._tool_pose(arm.q)
         for _ in range(c.physics_substeps):
-            tool_prev, _ = self._tool_pose(arm.q)
+            tool_prev = tool_pos
             arm = franka.servo_step(arm, sub_dt)
             tool_pos, tool_quat = self._tool_pose(arm.q)
             # gel pad box centered half-thickness behind the contact face

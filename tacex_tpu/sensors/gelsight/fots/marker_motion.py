@@ -179,7 +179,11 @@ def draw_marker_image(
     px = jnp.stack([xx, yy], axis=-1)  # (h, w, 2)
     d2 = ((px[None, :, :, None, :] - markers[:, None, None, :, :]) ** 2).sum(-1)  # (N, h, w, M)
     r = cfg.marker_dot_radius_px
-    intensity = jnp.exp(-0.5 * d2 / (r * r)).max(axis=-1)  # (N, h, w)
+    # quadratic bump instead of a gaussian: visually equivalent anti-aliased
+    # dots without N*h*w*M transcendentals (measured 6.8 -> ~2 ms at
+    # 4096x24x32x99 on v5e)
+    support = 2.5 * r * r
+    intensity = (jnp.maximum(1.0 - d2 / support, 0.0) ** 2).max(axis=-1)  # (N, h, w)
     return 1.0 - intensity
 
 

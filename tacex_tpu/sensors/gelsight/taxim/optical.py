@@ -227,30 +227,39 @@ def _shadow_pass(
 
     step_w, step_h = sim.shadow_step((h, w))
     yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
-    cos_t, sin_t = jnp.cos(thetas), jnp.sin(thetas)  # (h, w, R)
+    num_rays = calib.shadow_fan_angles.shape[1]
+    # Rays are unrolled in python (typically 4): keeping every array at
+    # (h, w[, 3]) avoids a trailing ray axis of 4, which TPU (8, 128) tiling
+    # pads 32x — enough to OOM at batch (observed 39 GB for 256 envs).
+    cos_rays = [jnp.cos(thetas[..., r]) for r in range(num_rays)]
+    sin_rays = [jnp.sin(thetas[..., r]) for r in range(num_rays)]
 
-    def step_body(s, img):
-        # Targets for every pixel and ray at march distance (s+1).
+    def step_body(s, imgs):
+        # RGB channels are carried as three separate (h*w,) images, and rays
+        # are unrolled in python: any array with a trailing size-3/4 axis gets
+        # padded ~32-42x by TPU (8, 128) tiling, which OOMs at batch.
         dist = (s + 1).astype(jnp.float32)
-        tx = (xx[..., None] + step_w * dist * cos_t).astype(jnp.int32)  # (h, w, R)
-        ty = (yy[..., None] + step_h * dist * sin_t).astype(jnp.int32)
-        in_bounds = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
-        txc = jnp.clip(tx, 0, w - 1)
-        tyc = jnp.clip(ty, 0, h - 1)
-        # Shadow only falls on pixels higher (closer to camera) than source.
-        higher = deformed_gel_px[..., None] < deformed_gel_px[tyc, txc]
-        valid = in_bounds & boundary[..., None] & higher  # (h, w, R)
-        # Attenuation value depends only on (source pixel, step) — broadcast
-        # over rays. Gather this step's column for every pixel.
         col = jax.lax.dynamic_slice_in_dim(table_flat, s, 1, axis=1)[:, 0, :]  # (rows, 3)
-        step_vals = jnp.take(col, flat_idx, axis=0)  # (h, w, 3)
-        vals = jnp.where(valid[..., None], step_vals[:, :, None, :], jnp.inf)  # (h, w, R, 3)
-        flat = tyc * w + txc  # (h, w, R)
-        img_flat = img.reshape(h * w, 3)
-        img_flat = img_flat.at[flat.reshape(-1)].min(vals.reshape(-1, 3))
-        return img_flat.reshape(h, w, 3)
+        step_vals = [jnp.take(col[:, ch], flat_idx, axis=0) for ch in range(3)]  # 3 x (h, w)
+        for r in range(num_rays):
+            tx = (xx + step_w * dist * cos_rays[r]).astype(jnp.int32)  # (h, w)
+            ty = (yy + step_h * dist * sin_rays[r]).astype(jnp.int32)
+            in_bounds = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+            txc = jnp.clip(tx, 0, w - 1)
+            tyc = jnp.clip(ty, 0, h - 1)
+            # Shadow only falls on pixels higher (closer to camera) than source.
+            higher = deformed_gel_px < deformed_gel_px[tyc, txc]
+            valid = in_bounds & boundary & higher  # (h, w)
+            flat = (tyc * w + txc).reshape(-1)
+            imgs = tuple(
+                imgs[ch].at[flat].min(jnp.where(valid, step_vals[ch], jnp.inf).reshape(-1))
+                for ch in range(3)
+            )
+        return imgs
 
-    return jax.lax.fori_loop(0, num_steps, step_body, sim_img)
+    imgs0 = tuple(sim_img[..., ch].reshape(-1) for ch in range(3))
+    imgs = jax.lax.fori_loop(0, num_steps, step_body, imgs0)
+    return jnp.stack(imgs, axis=-1).reshape(h, w, 3)
 
 
 def render(
