@@ -153,3 +153,52 @@ class TestSolver:
             state = step(state, aim)
         x = np.asarray(state.x)
         assert np.abs(x[0] - x[1]).max() > 1e-4
+
+
+class TestHertzContact:
+    def test_contact_radius_tracks_hertz(self, gel_model):
+        """Quantitative FEM validation (SURVEY §7.3: 'FEM static press vs
+        analytic Hertz'): for a rigid sphere (radius R) pressed depth d into
+        an elastic half-space, the Hertz contact radius is a = sqrt(R d).
+        The solver's contact-patch radius must track that within tolerance
+        (the gel is a thin bonded layer, not a half-space, so we allow 40%)
+        and must grow ~sqrt(d). Needs a finer mesh than the shared fixture —
+        the Hertz radius (~2 mm) must exceed the vertex pitch."""
+        mesh = box_tet_mesh(size=(0.02, 0.025, 0.0045), resolution=(10, 12, 2), center=(0, 0, -0.00225))
+        top_ids = np.where(mesh.points[:, 2] > -1e-6)[0].astype(np.int32)
+        m = SoftBodyModel(
+            mesh, cfg=IpcSolverCfg(dt=0.01, newton_max_iter=6, cg_iters=20), attachment_verts=top_ids
+        )
+        R = 0.004
+        sph = jnp.array([[[0.0, 0.0, -0.0085, R]]])
+        scene = RigidSdfScene(
+            spheres=sph, boxes=jnp.zeros((1, 1, 10)), capsules=jnp.zeros((1, 1, 8)),
+            planes=jnp.zeros((1, 1, 4)),
+        )
+        top0 = jnp.asarray(m.mesh.points[np.asarray(m.attachment_verts)])
+        step = jax.jit(lambda s, a: m.step(s, scene, a))
+        from tacex_tpu.ops.sdf import scene_sdf
+
+        radii = []
+        for press_total in (0.001, 0.002):
+            state = SoftBodyState.init(1, m.mesh.points)
+            for i in range(12):
+                pr = press_total * min((i + 1) / 8, 1.0)
+                aim = (top0 - jnp.array([0.0, 0.0, pr]))[None]
+                state = step(state, aim)
+            # contact patch = surface verts within d_hat of the sphere
+            xs = np.asarray(state.x[0][np.asarray(m.surface_verts)])
+            d = np.asarray(
+                scene_sdf(jnp.asarray(xs), sph[0], jnp.zeros((1, 10)), jnp.zeros((1, 8)), jnp.zeros((1, 4)))
+            )
+            contact = xs[d < 1.5 * m.cfg.d_hat]
+            assert len(contact) >= 3, "no contact patch formed"
+            r_patch = np.linalg.norm(contact[:, :2] - contact[:, :2].mean(0), axis=1).max()
+            radii.append((r_patch, len(contact)))
+            a_hertz = np.sqrt(R * press_total)
+            assert 0.4 * a_hertz < r_patch < 2.5 * a_hertz, (
+                f"patch radius {r_patch:.4f} vs hertz {a_hertz:.4f} at d={press_total}"
+            )
+        # deeper press -> more verts in contact (radius itself is quantized
+        # by the ~2 mm vertex pitch, so count is the finer monotone signal)
+        assert radii[1][1] > radii[0][1]
