@@ -180,7 +180,7 @@ class TestHertzContact:
         from tacex_tpu.ops.sdf import scene_sdf
 
         radii = []
-        for press_total in (0.001, 0.002):
+        for press_total in (0.0005, 0.0025):
             state = SoftBodyState.init(1, m.mesh.points)
             for i in range(12):
                 pr = press_total * min((i + 1) / 8, 1.0)
@@ -201,4 +201,4 @@ class TestHertzContact:
             )
         # deeper press -> more verts in contact (radius itself is quantized
         # by the ~2 mm vertex pitch, so count is the finer monotone signal)
-        assert radii[1][1] > radii[0][1]
+        assert radii[1][1] > radii[0][1], radii
