@@ -36,6 +36,7 @@ def main() -> None:
     p.add_argument("--checkpoint_interval", type=int, default=50)
     p.add_argument("--shard", action="store_true", help="shard envs over all devices")
     p.add_argument("--log_interval", type=int, default=1)
+    p.add_argument("--viz_dir", default=None, help="write metric plots (LiveVisualizer)")
     args = p.parse_args()
 
     env = envs.make(args.task, num_envs=args.num_envs)
@@ -61,6 +62,12 @@ def main() -> None:
         path = Path(args.checkpoint_dir).absolute()
         ckpt_mgr = ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions(max_to_keep=3))
 
+    viz = None
+    if args.viz_dir:
+        from tacex_tpu.utils import LiveVisualizer
+
+        viz = LiveVisualizer(args.viz_dir)
+
     step_fn = ppo.jit_train_step()
     t_start = time.time()
     for it in range(args.iterations):
@@ -81,6 +88,8 @@ def main() -> None:
                 ),
                 flush=True,
             )
+        if viz is not None:
+            viz.add_scalars(int(ts.steps), metrics)
         if ckpt_mgr is not None and (it + 1) % args.checkpoint_interval == 0:
             params = ts.params if hasattr(ts, "params") else ts.actor_params
             ckpt_mgr.save(it, args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardSave(
@@ -88,6 +97,9 @@ def main() -> None:
             ))
     if ckpt_mgr is not None:
         ckpt_mgr.wait_until_finished()
+    if viz is not None:
+        path = viz.save_plots()
+        print(f"metric plots -> {path}")
     print(f"done: {int(ts.steps)} env steps in {time.time() - t_start:.1f}s")
 
 
