@@ -26,8 +26,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-NUM_ENVS = 4096
-ITERS = 30
+import os
+
+NUM_ENVS = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+ITERS = int(os.environ.get("BENCH_ITERS", 30))
 PER_CHIP_TARGET = 50_000 / 8
 
 

@@ -129,6 +129,7 @@ class FactoryState:
     fixed_pos: jax.Array  # (N, 3)
     fixed_quat: jax.Array  # (N, 4)
     held_grip_offset: jax.Array  # (N, 3) grasp offset noise (held in EE frame)
+    ctrl_target: jax.Array  # (N, 3) persistent absolute task-space target
     ema_target: jax.Array  # (N, 6) smoothed action target
     actions: jax.Array
     prev_actions: jax.Array
@@ -183,6 +184,7 @@ class FactoryEnv(DirectRLEnv):
             fixed_pos=jnp.tile(jnp.asarray(t.fixed_init_pos, jnp.float32), (n, 1)),
             fixed_quat=maths.quat_identity((n,)),
             held_grip_offset=jnp.zeros((n, 3)),
+            ctrl_target=jnp.zeros((n, 3)),
             ema_target=jnp.zeros((n, 6)),
             actions=jnp.zeros((n, 6)),
             prev_actions=jnp.zeros((n, 6)),
@@ -227,6 +229,9 @@ class FactoryEnv(DirectRLEnv):
             fixed_pos=jnp.where(m1, new_fixed, state.fixed_pos),
             fixed_quat=jnp.where(m1, maths.quat_identity((n,)), state.fixed_quat),
             held_grip_offset=jnp.where(m1, new_grip, state.held_grip_offset),
+            ctrl_target=jnp.where(
+                m1, franka.forward_kinematics(arm_q, ee_offset_pos=self._ee_off)[0], state.ctrl_target
+            ),
             ema_target=jnp.where(m1, 0.0, state.ema_target),
             actions=jnp.where(m1, 0.0, state.actions),
             prev_actions=jnp.where(m1, 0.0, state.prev_actions),
@@ -253,31 +258,63 @@ class FactoryEnv(DirectRLEnv):
         delta_pos = ema[:, :3] * jnp.asarray(c.pos_action_bounds)
         delta_rot = ema[:, 3:6] * jnp.asarray(c.rot_action_bounds) * 0.1
 
-        arm = franka.apply_delta_pose_ik(state.arm, delta_pos, delta_rot, ee_offset_pos=self._ee_off)
+        # Closed-loop task-space tracking toward a PERSISTENT absolute target
+        # (the reference's ctrl-target scheme): the target integrates the
+        # bounded action deltas and stays put otherwise, so joint-space
+        # tracking error cannot accumulate into lateral drift.
+        target_pos = state.ctrl_target + delta_pos * 0.25
+        # keep the target within the workspace box around the fixed asset
+        lo = state.fixed_pos + jnp.array([-0.15, -0.15, -0.02])
+        hi = state.fixed_pos + jnp.array([0.15, 0.15, 0.30])
+        target_pos = jnp.clip(target_pos, lo, hi)
+        down_quat = maths.quat_from_angle_axis(
+            jnp.asarray(jnp.pi), jnp.array([1.0, 0.0, 0.0])
+        )
+        arm = state.arm
         for _ in range(c.decimation):
+            pos, quat, orig, ax = franka.forward_kinematics(arm.q, ee_offset_pos=self._ee_off)
+            jac = franka.geometric_jacobian(pos, orig, ax)
+            rot_err = maths.axis_angle_from_quat(
+                maths.quat_mul(jnp.broadcast_to(down_quat, quat.shape), maths.quat_conjugate(quat))
+            )
+            q_t = franka.dls_ik_step(arm.q, target_pos - pos, 0.5 * rot_err + delta_rot / c.decimation, jac)
+            arm = franka.ArmState(
+                q=arm.q, qd=arm.qd, q_target=jnp.clip(q_t, franka.Q_LOWER, franka.Q_UPPER)
+            )
             arm = franka.servo_step(arm, c.sim_dt, stiffness=20.0)
 
         # penetration projection: the held asset cannot enter the fixed block
-        # unless aligned with the hole
+        # (unless aligned with the hole) nor the table under it
         tool_pos, tool_quat = self._tool_pose(arm.q)
         held_base, _ = self._held_pose(tool_pos, tool_quat, state.held_grip_offset)
         hole_top = self._fixed_target(state)
         xy_dist = jnp.linalg.norm(held_base[:, :2] - hole_top[:, :2], axis=-1)
-        aligned = xy_dist < (t.hole_diameter - t.held_diameter) / 2 + 0.0015
         block_top_z = hole_top[:, 2]
-        # if not aligned, the held bottom rests on the block surface
-        min_z = jnp.where(aligned, block_top_z - t.hole_depth, block_top_z)
-        over_block = (
-            (jnp.abs(held_base[:, 0] - state.fixed_pos[:, 0]) < t.fixed_size[0] / 2)
-            & (jnp.abs(held_base[:, 1] - state.fixed_pos[:, 1]) < t.fixed_size[1] / 2)
+        # once the tip is inside the hole it stays captured (the hole wall
+        # would block lateral escape; without this, micro-drift after
+        # insertion would flip `aligned` and eject the peg upward)
+        inside_hole = held_base[:, 2] < block_top_z - 0.001
+        aligned = (xy_dist < (t.hole_diameter - t.held_diameter) / 2 + 0.0015) | (
+            inside_hole & (xy_dist < t.hole_diameter)
         )
-        pen = jnp.where(over_block, jnp.maximum(min_z - held_base[:, 2], 0.0), 0.0)
-        # project the arm target up by the penetration (kinematic constraint)
+        over_block = (
+            (jnp.abs(held_base[:, 0] - state.fixed_pos[:, 0]) < t.fixed_size[0] / 2 + t.held_diameter / 2)
+            & (jnp.abs(held_base[:, 1] - state.fixed_pos[:, 1]) < t.fixed_size[1] / 2 + t.held_diameter / 2)
+        )
+        table_z = state.fixed_pos[:, 2] - t.fixed_size[2] / 2
+        min_z = jnp.where(
+            over_block,
+            jnp.where(aligned, block_top_z - t.hole_depth, block_top_z),
+            table_z,
+        )
+        pen = jnp.maximum(min_z - held_base[:, 2], 0.0)
+        # project the arm up by the violation (kinematic contact constraint)
         q_fix = franka.apply_delta_pose_ik(
             arm, jnp.stack([jnp.zeros(n), jnp.zeros(n), pen], -1), jnp.zeros((n, 3)),
             ee_offset_pos=self._ee_off,
         )
-        arm = franka.ArmState(q=q_fix.q_target, qd=arm.qd, q_target=q_fix.q_target)
+        corrected = jnp.where((pen > 0)[:, None], q_fix.q_target, arm.q)
+        arm = franka.ArmState(q=corrected, qd=arm.qd, q_target=q_fix.q_target)
         tool_pos, tool_quat = self._tool_pose(arm.q)
         held_base, held_quat = self._held_pose(tool_pos, tool_quat, state.held_grip_offset)
 
@@ -288,7 +325,7 @@ class FactoryEnv(DirectRLEnv):
 
         state = FactoryState(
             arm=arm, fixed_pos=state.fixed_pos, fixed_quat=state.fixed_quat,
-            held_grip_offset=state.held_grip_offset, ema_target=ema,
+            held_grip_offset=state.held_grip_offset, ctrl_target=target_pos, ema_target=ema,
             actions=actions, prev_actions=prev_actions,
             ep_succeeded=state.ep_succeeded,
             episode_length=state.episode_length + 1, key=key,

@@ -50,3 +50,22 @@ class TestCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         assert '"frames_per_sec"' in r.stdout
         assert '"in_contact_frames"' in r.stdout
+
+    def test_bench_smoke(self):
+        """bench.py must print exactly one JSON line (driver contract)."""
+        import json
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["BENCH_NUM_ENVS"] = "8"
+        env["BENCH_ITERS"] = "3"
+        r = subprocess.run(
+            [sys.executable, "bench.py"], cwd=REPO, env=env, timeout=420,
+            capture_output=True, text=True,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        assert len(lines) == 1
+        rec = json.loads(lines[0])
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
