@@ -15,10 +15,36 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from tacex_tpu.assets import meshes
 from tacex_tpu.assets.shapes import SHAPE_LIBRARY, shape_height_map
+from tacex_tpu.render.depth_camera import render_depth
 from tacex_tpu.sensors.gelsight import taxim as tx
 from tacex_tpu.sensors.gelsight.fots import marker_motion as fots
 from tacex_tpu.sensors.gelsight.taxim import optical
+
+
+def mesh_height_map(name: str, res: tuple[int, int], pixmm: float = 0.059) -> np.ndarray:
+    """Render a (h, w) height map in mm from the shape's TRIANGLE MESH.
+
+    The camera hangs above the part's highest point looking straight down
+    (the geometry the reference's RTX TiledCamera sees in run_shape_touch,
+    reference scripts/demos/shape_touch/run_shape_touch.py), so the mesh
+    rasterizer — not an analytic formula — produces the contact geometry.
+    """
+    tris = jnp.asarray(meshes.shape_mesh(name))
+    h, w = res
+    extent = (w * pixmm * 1e-3, h * pixmm * 1e-3)
+    z_top = float(tris[..., 2].max())
+    cam_pos = jnp.array([0.0, 0.0, z_top + 1e-4])
+    cam_down = jnp.array([0.0, 1.0, 0.0, 0.0])  # 180 deg about x: +Z -> -Z
+    far = z_top + 6e-3  # 6 mm of visible relief, like shapes.FAR
+    depth = render_depth(
+        cam_pos, cam_down,
+        jnp.zeros((1, 4)), jnp.zeros((1, 10)), jnp.zeros((1, 8)), jnp.zeros((1, 4)),
+        (w, h), extent, far, scene_triangles=tris,
+    )
+    hm = (np.asarray(depth) - float(depth.min())) * 1000.0  # meters -> mm, 0 = contact
+    return hm.astype(np.float32)
 
 
 def main() -> None:
@@ -27,6 +53,11 @@ def main() -> None:
     p.add_argument("--depths", nargs="*", type=float, default=[0.3, 0.6, 0.9, 1.2, 1.5])
     p.add_argument("--out_dir", default="/tmp/shape_touch")
     p.add_argument("--res", type=int, nargs=2, default=(240, 320))
+    p.add_argument(
+        "--mesh", action="store_true",
+        help="render contact geometry from triangle meshes (assets.meshes) "
+        "instead of the analytic height-map library",
+    )
     args = p.parse_args()
 
     res = tuple(args.res)
@@ -41,11 +72,20 @@ def main() -> None:
 
     from PIL import Image
 
+    if args.mesh and args.shapes == ["sphere_medium", "cube_edge", "cross"]:
+        args.shapes = ["sphere", "cube", "gear"]  # mesh-library defaults
+
     for name in args.shapes:
-        if name not in SHAPE_LIBRARY:
+        if args.mesh:
+            if name not in meshes.MESH_SHAPE_NAMES:
+                print(f"unknown mesh shape {name}; available: {meshes.MESH_SHAPE_NAMES}")
+                continue
+            hm0 = mesh_height_map(name, res)
+        elif name not in SHAPE_LIBRARY:
             print(f"unknown shape {name}; available: {sorted(SHAPE_LIBRARY)}")
             continue
-        hm0 = shape_height_map(name, res)
+        else:
+            hm0 = shape_height_map(name, res)
         panels = []
         for depth in args.depths:
             hm = jnp.asarray(hm0[None])

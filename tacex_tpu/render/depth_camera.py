@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import maths
+from . import mesh_raster
 
 BIG = 1e9
 
@@ -37,20 +38,32 @@ class SdfScene:
     capsules:(N, C, 8)  -> endpoint a xyz, endpoint b xyz, radius, enabled
     planes:  (N, P, 4)  -> unit normal xyz, offset d (n.x = d), normal zeroed
                            disables
+    triangles: (N, T, 3, 3) optional world-space triangle soup (padded with
+                           zero/degenerate triangles) rasterized by
+                           render.mesh_raster — the RTX-mesh replacement.
     """
 
     spheres: jax.Array
     boxes: jax.Array
     capsules: jax.Array
     planes: jax.Array
+    triangles: jax.Array | None = None
 
     @staticmethod
-    def empty(num_envs: int, num_spheres=1, num_boxes=1, num_capsules=1, num_planes=1) -> "SdfScene":
+    def empty(
+        num_envs: int,
+        num_spheres=1,
+        num_boxes=1,
+        num_capsules=1,
+        num_planes=1,
+        num_triangles=0,
+    ) -> "SdfScene":
         return SdfScene(
             spheres=jnp.zeros((num_envs, num_spheres, 4)),
             boxes=jnp.zeros((num_envs, num_boxes, 10)),
             capsules=jnp.zeros((num_envs, num_capsules, 8)),
             planes=jnp.zeros((num_envs, num_planes, 4)),
+            triangles=jnp.zeros((num_envs, num_triangles, 3, 3)) if num_triangles else None,
         )
 
 
@@ -140,6 +153,7 @@ def render_depth(
     resolution: tuple[int, int],  # (w, h)
     extent: tuple[float, float],  # (width_m, height_m) of the imaged window
     far: float,
+    scene_triangles: jax.Array | None = None,  # (T, 3, 3) world-space
 ) -> jax.Array:
     """Orthographic depth (h, w) in meters for ONE env (vmap over envs)."""
     w, h = resolution
@@ -161,6 +175,10 @@ def render_depth(
         ],
         axis=-1,
     ).min(-1)
+    if scene_triangles is not None and scene_triangles.shape[0] > 0:
+        tris_cam = mesh_raster.world_tris_to_cam(cam_pos, cam_quat, scene_triangles)
+        t_mesh = mesh_raster.raster_depth(tris_cam, origins_cam[:, :2])
+        t = jnp.minimum(t, t_mesh)
     t = jnp.minimum(t, far)
     return t.reshape(h, w)
 
@@ -174,6 +192,20 @@ def render_depth_batch(
     far: float,
 ) -> jax.Array:
     """(N, h, w) depth for the whole env batch."""
+    if scene.triangles is not None and scene.triangles.shape[1] > 0:
+        return jax.vmap(
+            lambda p, q, s, b, c, pl, tr: render_depth(
+                p, q, s, b, c, pl, resolution, extent, far, tr
+            )
+        )(
+            cam_pos,
+            cam_quat,
+            scene.spheres,
+            scene.boxes,
+            scene.capsules,
+            scene.planes,
+            scene.triangles,
+        )
     return jax.vmap(
         lambda p, q, s, b, c, pl: render_depth(p, q, s, b, c, pl, resolution, extent, far)
     )(cam_pos, cam_quat, scene.spheres, scene.boxes, scene.capsules, scene.planes)
