@@ -2,29 +2,27 @@
 
 TPU rebuild of the reference's Factory port (reference
 source/tacex_tasks/tacex_tasks/factory/factory_env.py + factory_env_cfg.py +
-factory_tasks_cfg.py): Franka + two-finger gripper holding an asset (peg /
-gear / nut) that must be inserted onto a fixed asset (hole / gear base /
-bolt), with a GelSight sensor on each gripper finger
-(factory_env_cfg.py:192-213). Preserved structure:
+factory_tasks_cfg.py + factory_control.py): Franka + two-finger gripper
+holding an asset (peg / gear / nut) that must be inserted onto a fixed asset
+(hole / gear shaft / bolt), with a GelSight sensor on each gripper finger
+(factory_env_cfg.py:192-213). Round-2 redesign (VERDICT items #3/#4):
 
-  * 6-dim bounded delta-pose actions with EMA smoothing
-    (ctrl.pos_action_bounds / ema_factor);
-  * keypoint-distance rewards through the squashing function
-    1/(exp(a x) + b + exp(-a x)) at baseline/coarse/fine scales, plus
-    engagement and success bonuses and action/action-grad penalties
-    (factory_env.py:496-520);
-  * success = centered (xy < 2.5 mm) AND inserted below the height
-    threshold (factory_env.py:440-465);
-  * obs = [fingertip_pos_rel_fixed, fingertip_quat, ee_linvel, ee_angvel,
-    prev_actions]; state adds held/fixed poses and joint positions;
-  * two tactile RGB images from the finger sensors observing the gripped
-    asset pressed into the gels.
+  * the arm is a 9-DOF second-order articulation (7 revolute + 2 prismatic
+    fingers) driven by OPERATIONAL-SPACE TORQUE control
+    (physics/rigid/articulation.py, factory_control.py:19-93 semantics);
+  * the held asset is a dynamic 6-DoF rigid body coupled to the gripper by a
+    compliant grasp and resolved against the fixed asset's SDF by penalty
+    contact + friction (envs/factory/contact.py) — jamming/wedging/threading
+    EMERGE from the force balance, nothing is scripted;
+  * each finger's tactile image is RENDERED from the held asset's actual
+    triangle mesh in that finger's camera frame (render/mesh_raster.py), so
+    misalignment tilts/loads the two fingers differently
+    (factory_env.py:190-194 contract).
 
-Simplifications (documented): the gripper holds the asset rigidly (the
-reference also fixes the grasp after reset); insertion contact resolves as a
-penetration-projection of the commanded pose against the fixed asset's
-analytic SDF instead of a full force balance — the RL-relevant consequence
-(cannot descend unless aligned) is preserved.
+Preserved reference structure: 6-dim bounded delta-pose EMA actions, the
+keypoint squashing rewards 1/(exp(a x) + b + exp(-a x)) at baseline/coarse/
+fine scales plus engagement/success bonuses (factory_env.py:496-520), and
+success = centered AND below the height threshold (factory_env.py:440-465).
 """
 
 from __future__ import annotations
@@ -37,12 +35,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ...assets import meshes
 from ...core import maths
 from ...core.config import configclass
+from ...physics.rigid import articulation as art
 from ...physics.rigid import franka
+from ...render import mesh_raster
+from ...render.depth_camera import render_depth
 from ...sensors.gelsight.sensor import GelSightSensor
 from ...sensors.gelsight.sensor_cfg import gelsight_mini_cfg
 from ..base import DirectRLEnv, DirectRLEnvCfg
+from . import contact
 
 
 @configclass
@@ -71,6 +74,7 @@ class FactoryTaskCfg:
     action_grad_penalty_scale: float = 0.0
     engage_threshold: float = 0.9
     success_threshold: float = 0.04
+    grip_depth: float = 0.02  # how far below the TCP the grasp line sits
 
 
 def peg_insert_task() -> FactoryTaskCfg:
@@ -86,6 +90,7 @@ def gear_mesh_task() -> FactoryTaskCfg:
         hole_depth=0.02,
         success_threshold=0.05,
         engage_threshold=0.9,
+        grip_depth=0.015,
     )
 
 
@@ -98,6 +103,7 @@ def nut_thread_task() -> FactoryTaskCfg:
         hole_depth=0.015,
         success_threshold=0.375,
         engage_threshold=0.9,
+        grip_depth=0.005,
     )
 
 
@@ -116,6 +122,9 @@ class FactoryEnvCfg(DirectRLEnvCfg):
     camera_resolution: tuple = (32, 32)
     vision_obs_shape: tuple = (32, 32, 3)
     obs_noise_std: float = 0.0
+    # task-space PD gains (reference factory ctrl default_task_prop_gains)
+    task_kp: tuple = (300.0, 300.0, 300.0, 30.0, 30.0, 30.0)
+    grip_preload: float = 0.0012  # base gel indentation from the grasp (m)
 
     def __post_init__(self):
         if self.task is None:
@@ -125,10 +134,11 @@ class FactoryEnvCfg(DirectRLEnvCfg):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FactoryState:
-    arm: franka.ArmState
+    arm: art.GripperArmState
+    held: contact.HeldState
+    grip_offset: jax.Array  # (N, 3) off-center grasp (held frame vs TCP), persists
     fixed_pos: jax.Array  # (N, 3)
     fixed_quat: jax.Array  # (N, 4)
-    held_grip_offset: jax.Array  # (N, 3) grasp offset noise (held in EE frame)
     ctrl_target: jax.Array  # (N, 3) persistent absolute task-space target
     ema_target: jax.Array  # (N, 6) smoothed action target
     actions: jax.Array
@@ -138,35 +148,69 @@ class FactoryState:
     key: jax.Array
 
 
+def _held_mesh(t: FactoryTaskCfg) -> np.ndarray:
+    """Triangle mesh of the held asset (local frame, origin = bottom center)."""
+    if t.name == "peg_insert":
+        return meshes.cylinder_mesh(t.held_diameter / 2, t.held_height, segments=24)
+    if t.name == "gear_mesh":
+        return meshes.gear_mesh(
+            0.75 * t.held_diameter / 2, t.held_diameter / 2, 12, t.held_height, seg_per_tooth=2
+        )
+    if t.name == "nut_thread":
+        return meshes.nut_mesh(
+            t.held_diameter * math.sqrt(3.0) / 2, t.hole_diameter / 2 + 2e-4,
+            t.held_height, segments=18,
+        )
+    raise ValueError(t.name)
+
+
 class FactoryEnv(DirectRLEnv):
     cfg: FactoryEnvCfg
 
     def __init__(self, cfg: FactoryEnvCfg | None = None):
         super().__init__(cfg or FactoryEnvCfg())
         c = self.cfg
+        t = c.task
         res = tuple(c.camera_resolution)
         sensor_cfg = gelsight_mini_cfg(with_markers=False, camera_resolution=res, tactile_img_res=res)
         # one batched sensor evaluates both fingers: envs axis = 2N
         self.sensor = GelSightSensor(sensor_cfg, num_envs=2 * c.num_envs)
         self._q0 = jnp.asarray(c.reset_joints, jnp.float32)
-        self._ee_off = jnp.asarray([0.0, 0.0, 0.107], jnp.float32)  # hand tcp
-        t = c.task
+        self._ee_off = jnp.asarray([0.0, 0.0, art.HAND_TCP_OFFSET], jnp.float32)
         # keypoints along the held asset axis (factory_env.py:153-158)
         ko = np.zeros((t.num_keypoints, 3), np.float32)
         ko[:, 2] = (np.linspace(0.0, 1.0, t.num_keypoints) - 0.5) * t.keypoint_scale
         self._keypoint_offsets = jnp.asarray(ko)
+        # contact machinery
+        self._sdf = contact.make_fixed_sdf(t.name, t)
+        self._pts = jnp.asarray(contact.make_held_points(t.name, t))
+        self._params = contact.ContactParams()
+        self._tris = jnp.asarray(_held_mesh(t))
+        self._kp_task = jnp.asarray(c.task_kp, jnp.float32)
+        self._kd_task = 2.0 * jnp.sqrt(self._kp_task)
+        # grip width target: fingers squeeze the asset by the preload
+        self._grip_half = t.held_diameter / 2 - c.grip_preload
 
     # ---------------------------------------------------------------- helpers
     def _tool_pose(self, q):
-        pos, quat, _, _ = franka.forward_kinematics(q, ee_offset_pos=self._ee_off)
+        pos, quat, _, _ = franka.forward_kinematics(q[:, :7], ee_offset_pos=self._ee_off)
         return pos, quat
 
-    def _held_pose(self, tool_pos, tool_quat, grip_offset):
-        """Held asset base (bottom tip) pose: hangs below the tool."""
+    def _grasp_pose(self, tool_pos, tool_quat, grip_offset=None):
+        """Grasp target pose of the HELD-ASSET ORIGIN (bottom center): the
+        grasp line sits grip_depth above the asset bottom-at-height; an
+        off-center grip (reference held_asset_pos_noise) shifts it."""
         t = self.cfg.task
-        off = jnp.array([0.0, 0.0, 0.02], jnp.float32) + grip_offset  # grip depth
-        base = tool_pos + maths.quat_apply(tool_quat, off + jnp.array([0.0, 0.0, t.held_height]))
-        return base, tool_quat
+        off = jnp.array([0.0, 0.0, t.held_height - t.grip_depth], jnp.float32)
+        if grip_offset is not None:
+            off = off + grip_offset
+        pos = tool_pos + maths.quat_apply(tool_quat, off)
+        # asset frame z points DOWN the tool z (tool hangs flipped): the asset
+        # stays world-up while the tool looks down, so grasp orientation is
+        # the tool quat composed with the 180deg x-flip
+        flip = jnp.array([0.0, 1.0, 0.0, 0.0], jnp.float32)
+        quat = maths.quat_mul(tool_quat, jnp.broadcast_to(flip, tool_quat.shape))
+        return pos, quat
 
     def _fixed_target(self, state):
         """Insertion target on the fixed asset (top center of the hole)."""
@@ -175,15 +219,22 @@ class FactoryEnv(DirectRLEnv):
         )
         return top
 
+    def _engage_z(self, state):
+        t = self.cfg.task
+        if t.name == "nut_thread":
+            return state.fixed_pos[:, 2] + t.fixed_size[2] / 2 + t.hole_depth
+        return None
+
     # ------------------------------------------------------------------ state
     def init_state(self, key: jax.Array) -> FactoryState:
         n = self.cfg.num_envs
         t = self.cfg.task
         return FactoryState(
-            arm=franka.ArmState.init(n, self._q0),
+            arm=art.GripperArmState.init(n, self._q0, finger_width=2 * self._grip_half),
+            held=contact.HeldState.init(n),
+            grip_offset=jnp.zeros((n, 3)),
             fixed_pos=jnp.tile(jnp.asarray(t.fixed_init_pos, jnp.float32), (n, 1)),
             fixed_quat=maths.quat_identity((n,)),
-            held_grip_offset=jnp.zeros((n, 3)),
             ctrl_target=jnp.zeros((n, 3)),
             ema_target=jnp.zeros((n, 6)),
             actions=jnp.zeros((n, 6)),
@@ -201,15 +252,15 @@ class FactoryEnv(DirectRLEnv):
         fixed0 = jnp.asarray(t.fixed_init_pos, jnp.float32)
         noise = jnp.asarray(t.fixed_asset_init_pos_noise, jnp.float32)
         new_fixed = fixed0 + jax.random.uniform(k1, (n, 3), minval=-1.0, maxval=1.0) * noise
-        grip_noise = jnp.asarray(t.held_asset_pos_noise, jnp.float32)
-        new_grip = jax.random.uniform(k2, (n, 3), minval=-1.0, maxval=1.0) * grip_noise
+        hand_noise = jnp.asarray(t.hand_init_pos_noise, jnp.float32)
+        hand_jitter = jax.random.uniform(k2, (n, 3), minval=-1.0, maxval=1.0) * hand_noise
         q0 = jnp.broadcast_to(self._q0, (n, 7))
         # arm starts above the (randomized) fixed asset: solve a few IK steps
         # toward hand_init_pos over the fixed top
-        arm_q = jnp.where(m1, q0, state.arm.q)
+        arm_q = jnp.where(m1, q0, state.arm.q[:, :7])
         target = new_fixed + jnp.asarray([0.0, 0.0, t.fixed_size[2] / 2], jnp.float32)
-        target = target + jnp.asarray(t.hand_init_pos, jnp.float32) + jnp.array(
-            [0.0, 0.0, t.held_height + 0.02]
+        target = target + jnp.asarray(t.hand_init_pos, jnp.float32) + hand_jitter + jnp.array(
+            [0.0, 0.0, t.held_height - t.grip_depth]
         )
         down_quat = maths.quat_from_angle_axis(jnp.asarray(math.pi), jnp.array([1.0, 0.0, 0.0]))
         for _ in range(12):
@@ -220,18 +271,36 @@ class FactoryEnv(DirectRLEnv):
             )
             arm_q_new = franka.dls_ik_step(arm_q, target - pos, rot_err, jac)
             arm_q = jnp.where(m1, jnp.clip(arm_q_new, franka.Q_LOWER, franka.Q_UPPER), arm_q)
+        q_fingers = jnp.full((n, 2), self._grip_half, jnp.float32)
+        q9 = jnp.concatenate([arm_q, q_fingers], -1)
+        new_arm = art.GripperArmState(
+            q=jnp.where(m1, q9, state.arm.q),
+            qd=jnp.where(m1, 0.0, state.arm.qd),
+            q_target=jnp.where(m1, q9, state.arm.q_target),
+        )
+        # held asset spawns in the grasp; the grip is OFF-CENTER by a
+        # persistent sampled offset (reference held_asset_pos_noise)
+        grip_noise = jnp.asarray(t.held_asset_pos_noise, jnp.float32)
+        new_grip_off = jax.random.uniform(k3, (n, 3), minval=-1.0, maxval=1.0) * grip_noise
+        grip_offset = jnp.where(m1, new_grip_off, state.grip_offset)
+        tool_pos, tool_quat = self._tool_pose(new_arm.q)
+        grasp_pos, grasp_quat = self._grasp_pose(tool_pos, tool_quat, grip_offset)
+        new_held = contact.HeldState(
+            pos=jnp.where(m1, grasp_pos, state.held.pos),
+            quat=jnp.where(m1, grasp_quat, state.held.quat),
+            linvel=jnp.where(m1, 0.0, state.held.linvel),
+            angvel=jnp.where(m1, 0.0, state.held.angvel),
+            thread_theta=jnp.where(mask, 0.0, state.held.thread_theta),
+            thread_z0=jnp.where(mask, 0.0, state.held.thread_z0),
+            engaged=jnp.where(mask, False, state.held.engaged),
+        )
         return FactoryState(
-            arm=franka.ArmState(
-                q=arm_q,
-                qd=jnp.where(m1, 0.0, state.arm.qd),
-                q_target=jnp.where(m1, arm_q, state.arm.q_target),
-            ),
+            arm=new_arm,
+            held=new_held,
+            grip_offset=grip_offset,
             fixed_pos=jnp.where(m1, new_fixed, state.fixed_pos),
             fixed_quat=jnp.where(m1, maths.quat_identity((n,)), state.fixed_quat),
-            held_grip_offset=jnp.where(m1, new_grip, state.held_grip_offset),
-            ctrl_target=jnp.where(
-                m1, franka.forward_kinematics(arm_q, ee_offset_pos=self._ee_off)[0], state.ctrl_target
-            ),
+            ctrl_target=jnp.where(m1, tool_pos, state.ctrl_target),
             ema_target=jnp.where(m1, 0.0, state.ema_target),
             actions=jnp.where(m1, 0.0, state.actions),
             prev_actions=jnp.where(m1, 0.0, state.prev_actions),
@@ -258,86 +327,87 @@ class FactoryEnv(DirectRLEnv):
         delta_pos = ema[:, :3] * jnp.asarray(c.pos_action_bounds)
         delta_rot = ema[:, 3:6] * jnp.asarray(c.rot_action_bounds) * 0.1
 
-        # Closed-loop task-space tracking toward a PERSISTENT absolute target
-        # (the reference's ctrl-target scheme): the target integrates the
-        # bounded action deltas and stays put otherwise, so joint-space
-        # tracking error cannot accumulate into lateral drift.
+        # persistent absolute task-space target (reference ctrl-target scheme)
         target_pos = state.ctrl_target + delta_pos * 0.25
-        # keep the target within the workspace box around the fixed asset
         lo = state.fixed_pos + jnp.array([-0.15, -0.15, -0.02])
         hi = state.fixed_pos + jnp.array([0.15, 0.15, 0.30])
         target_pos = jnp.clip(target_pos, lo, hi)
-        down_quat = maths.quat_from_angle_axis(
-            jnp.asarray(jnp.pi), jnp.array([1.0, 0.0, 0.0])
+        down_quat = maths.quat_from_angle_axis(jnp.asarray(jnp.pi), jnp.array([1.0, 0.0, 0.0]))
+        target_quat = maths.quat_mul(
+            maths.quat_from_angle_axis(
+                jnp.linalg.norm(delta_rot, axis=-1),
+                delta_rot / jnp.maximum(jnp.linalg.norm(delta_rot, axis=-1, keepdims=True), 1e-9),
+            ),
+            jnp.broadcast_to(down_quat, (n, 4)),
         )
-        arm = state.arm
-        for _ in range(c.decimation):
-            pos, quat, orig, ax = franka.forward_kinematics(arm.q, ee_offset_pos=self._ee_off)
-            jac = franka.geometric_jacobian(pos, orig, ax)
-            rot_err = maths.axis_angle_from_quat(
-                maths.quat_mul(jnp.broadcast_to(down_quat, quat.shape), maths.quat_conjugate(quat))
-            )
-            q_t = franka.dls_ik_step(arm.q, target_pos - pos, 0.5 * rot_err + delta_rot / c.decimation, jac)
-            arm = franka.ArmState(
-                q=arm.q, qd=arm.qd, q_target=jnp.clip(q_t, franka.Q_LOWER, franka.Q_UPPER)
-            )
-            arm = franka.servo_step(arm, c.sim_dt, stiffness=20.0)
 
-        # penetration projection: the held asset cannot enter the fixed block
-        # (unless aligned with the hole) nor the table under it
-        tool_pos, tool_quat = self._tool_pose(arm.q)
-        held_base, _ = self._held_pose(tool_pos, tool_quat, state.held_grip_offset)
-        hole_top = self._fixed_target(state)
-        xy_dist = jnp.linalg.norm(held_base[:, :2] - hole_top[:, :2], axis=-1)
-        block_top_z = hole_top[:, 2]
-        # once the tip is inside the hole it stays captured (the hole wall
-        # would block lateral escape; without this, micro-drift after
-        # insertion would flip `aligned` and eject the peg upward)
-        inside_hole = held_base[:, 2] < block_top_z - 0.001
-        aligned = (xy_dist < (t.hole_diameter - t.held_diameter) / 2 + 0.0015) | (
-            inside_hole & (xy_dist < t.hole_diameter)
-        )
-        over_block = (
-            (jnp.abs(held_base[:, 0] - state.fixed_pos[:, 0]) < t.fixed_size[0] / 2 + t.held_diameter / 2)
-            & (jnp.abs(held_base[:, 1] - state.fixed_pos[:, 1]) < t.fixed_size[1] / 2 + t.held_diameter / 2)
-        )
-        table_z = state.fixed_pos[:, 2] - t.fixed_size[2] / 2
-        min_z = jnp.where(
-            over_block,
-            jnp.where(aligned, block_top_z - t.hole_depth, block_top_z),
-            table_z,
-        )
-        pen = jnp.maximum(min_z - held_base[:, 2], 0.0)
-        # project the arm up by the violation (kinematic contact constraint)
-        q_fix = franka.apply_delta_pose_ik(
-            arm, jnp.stack([jnp.zeros(n), jnp.zeros(n), pen], -1), jnp.zeros((n, 3)),
-            ee_offset_pos=self._ee_off,
-        )
-        corrected = jnp.where((pen > 0)[:, None], q_fix.q_target, arm.q)
-        arm = franka.ArmState(q=corrected, qd=arm.qd, q_target=q_fix.q_target)
-        tool_pos, tool_quat = self._tool_pose(arm.q)
-        held_base, held_quat = self._held_pose(tool_pos, tool_quat, state.held_grip_offset)
+        engage_z = self._engage_z(state)
+        zero_diag = {
+            "contact_force": jnp.zeros((n, 3)),
+            "grasp_force": jnp.zeros((n, 3)),
+            "grasp_torque": jnp.zeros((n, 3)),
+            "max_penetration": jnp.zeros((n,)),
+        }
 
-        # --------------- tactile: both fingers press the held cylinder
-        depth_two = self._finger_depths(tool_quat, state.held_grip_offset, pen)
+        def decim_body(_, carry):
+            arm, held, diag = carry
+            # grasp reaction from the held asset loads the arm (J^T F)
+            reaction = jnp.concatenate([-diag["grasp_force"], -diag["grasp_torque"]], -1)
+            tau_ext = art.ee_wrench_to_tau(arm.q, reaction, ee_offset_pos=self._ee_off)
+            # operational-space torque control + implicit-damping dynamics
+            # (finger grip PD is folded in; gravity perfectly compensated)
+            arm = art.osc_step(
+                arm, target_pos, target_quat, self._kp_task, self._kd_task,
+                c.sim_dt, tau_ext=tau_ext, ee_offset_pos=self._ee_off, substeps=2,
+            )
+            tool_pos, tool_quat = self._tool_pose(arm.q)
+            grasp_pos, grasp_quat = self._grasp_pose(tool_pos, tool_quat, state.grip_offset)
+            held, diag = contact.held_asset_step(
+                held, grasp_pos, grasp_quat, state.fixed_pos, state.fixed_quat,
+                self._pts, self._sdf, self._params, t.name, c.sim_dt,
+                thread_engage_z=engage_z,
+            )
+            return arm, held, diag
+
+        # fori_loop keeps the compiled program one decimation-body long
+        # (unrolling 8x the arm+contact substep graph explodes compile time)
+        arm, held, diag = jax.lax.fori_loop(
+            0, c.decimation, decim_body, (state.arm, state.held, zero_diag)
+        )
+
+        tool_pos, tool_quat = self._tool_pose(arm.q)
+
+        # --------------- tactile: render the held asset from each finger
+        depth_two = self._finger_depths(arm, held)  # (2N,...), [left N | right N]
         _, sensor_out = self.sensor.update(self.sensor.init_state(), depth_two)
-        tactile = sensor_out["tactile_rgb"].reshape(n, 2, *sensor_out["tactile_rgb"].shape[1:])
+        tac = sensor_out["tactile_rgb"]
+        tactile = jnp.stack([tac[:n], tac[n:]], axis=1)  # (N, 2, h, w, 3)
 
         state = FactoryState(
-            arm=arm, fixed_pos=state.fixed_pos, fixed_quat=state.fixed_quat,
-            held_grip_offset=state.held_grip_offset, ctrl_target=target_pos, ema_target=ema,
+            arm=arm, held=held, grip_offset=state.grip_offset,
+            fixed_pos=state.fixed_pos, fixed_quat=state.fixed_quat,
+            ctrl_target=target_pos, ema_target=ema,
             actions=actions, prev_actions=prev_actions,
             ep_succeeded=state.ep_succeeded,
             episode_length=state.episode_length + 1, key=key,
         )
 
         # --------------- keypoints / success (factory_env.py:245-263, 440-465)
-        held_tip = held_base  # bottom of held asset
-        # keypoints along the world-up axis for both assets (the peg hangs
-        # upright; the tool quat itself is flipped 180deg, so using it would
-        # reverse the keypoint line)
+        held_tip = held.pos  # bottom of held asset (its dynamic origin)
+        hole_top = self._fixed_target(state)
+        xy_dist = jnp.linalg.norm(held_tip[:, :2] - hole_top[:, :2], axis=-1)
         kp_held = held_tip[:, None, :] + self._keypoint_offsets[None]
         hole_target = hole_top - jnp.array([0.0, 0.0, t.hole_depth])
+        if t.name in ("gear_mesh", "nut_thread"):
+            # gear seats on the plate top; nut success is depth down the bolt
+            hole_target = hole_top + jnp.array(
+                [0.0, 0.0, t.hole_depth if t.name == "nut_thread" else 0.0]
+            )
+            hole_target = jnp.where(
+                jnp.asarray(t.name == "nut_thread"),
+                hole_top + jnp.array([0.0, 0.0, 0.5 * t.hole_depth]),
+                hole_top,
+            )
         kp_fixed = hole_target[:, None, :] + self._keypoint_offsets[None]
         keypoint_dist = jnp.linalg.norm(kp_held - kp_fixed, axis=-1).mean(-1)
 
@@ -369,6 +439,8 @@ class FactoryEnv(DirectRLEnv):
                 "keypoint_dist": keypoint_dist.mean(),
                 "successes": success.mean(),
                 "engaged": engaged.mean(),
+                "contact_force_z": diag["contact_force"][:, 2].mean(),
+                "max_penetration": diag["max_penetration"].max(),
             },
             "tactile_rgb_fingers": tactile,
         }
@@ -377,37 +449,56 @@ class FactoryEnv(DirectRLEnv):
         return state, obs, rew, terminated, truncated, info
 
     # ----------------------------------------------------------------- vision
-    def _finger_depths(self, tool_quat, grip_offset, pen) -> jax.Array:
-        """Synthesize both finger-sensor depth maps of the gripped cylinder.
+    def _finger_depths(self, arm: art.GripperArmState, held: contact.HeldState) -> jax.Array:
+        """Render both finger-sensor depth maps FROM THE HELD ASSET'S REAL
+        GEOMETRY (VERDICT item #3: distinct left/right, alignment-dependent).
 
-        The cylinder (radius r) presses into each finger gel by the grasp
-        depth plus a shear-proportional extra when insertion force builds
-        (pen > 0) — giving the tactile observation its contact signal.
-        (2N, h, w) depth in meters, fingers stacked [left, right].
+        Each finger camera sits behind its gel pad looking inward along the
+        hand's -/+y axis; the held asset's triangle mesh is rasterized in
+        that camera frame. (2N, h, w) depth in meters, [left, right].
         """
-        c, t = self.cfg, self.cfg.task
+        c = self.cfg
         n = c.num_envs
         w, h = c.camera_resolution
         far = self.sensor.cfg.sensor_camera_cfg.clipping_range[1]
-        gel_top = 0.0285
-        r = t.held_diameter / 2
-        yy, xx = jnp.meshgrid(
-            (jnp.arange(h) + 0.5) / h - 0.5, (jnp.arange(w) + 0.5) / w - 0.5, indexing="ij"
+        gel_top = self.sensor.cfg.sensor_camera_cfg.clipping_range[0] + 0.0045
+        res = (w, h)
+        # sensor window extent (m): the GelSight-Mini camera images ~19x14 mm
+        extent = (0.0189, 0.0142)
+
+        finger_pos, tcp, hand_rot = art.finger_positions(arm.q)  # (N,2,3),(N,3),(N,3,3)
+        hand_quat = maths.quat_from_matrix(hand_rot)
+        # grasp line center: where the asset is held
+        tgt = tcp  # fingers slide on the y axis through the TCP
+
+        # camera frames: +Z = view direction (into the asset)
+        # left finger at +y looks along -y; right finger at -y looks along +y
+        rot_left = maths.quat_mul(
+            hand_quat, jnp.broadcast_to(_QUAT_PZ_TO_NY, hand_quat.shape)
         )
-        x_m = xx * 0.0189  # camera window width (m)
-        y_m = yy * 0.0142
-        press0 = 0.0008  # base grasp indentation
-        press = press0 + jnp.minimum(pen, 0.002)  # force -> deeper press
-        # cylinder axis runs along the image y axis; lateral offset = grip noise
-        off = grip_offset[:, 1]
-        dx = x_m[None] - off[:, None, None]
-        inside = jnp.abs(dx) < r
-        z_surf = jnp.where(
-            inside, r - jnp.sqrt(jnp.maximum(r * r - dx * dx, 0.0)), r
-        )  # height above the touching line
-        depth = gel_top - press[:, None, None] + z_surf
-        depth = jnp.clip(depth, 0.0, far)
-        return jnp.concatenate([depth, depth], axis=0)  # both fingers alike
+        rot_right = maths.quat_mul(
+            hand_quat, jnp.broadcast_to(_QUAT_PZ_TO_PY, hand_quat.shape)
+        )
+        y_axis = hand_rot[..., :, 1]
+        pad_l = tgt + arm.q[:, 7:8] * y_axis
+        pad_r = tgt - arm.q[:, 8:9] * y_axis
+        cam_l = pad_l - gel_top * (-y_axis)  # camera gel_top BEHIND the pad
+        cam_r = pad_r - gel_top * (+y_axis)
+
+        tris_w = jax.vmap(lambda p, q: mesh_raster.transform_tris(p, q, self._tris))(
+            held.pos, held.quat
+        )  # (N, T, 3, 3)
+
+        def cam_depth(cp, cq, tw):
+            return render_depth(
+                cp, cq,
+                jnp.zeros((1, 4)), jnp.zeros((1, 10)), jnp.zeros((1, 8)), jnp.zeros((1, 4)),
+                res, extent, far, scene_triangles=tw,
+            )
+
+        d_l = jax.vmap(cam_depth)(cam_l, rot_left, tris_w)
+        d_r = jax.vmap(cam_depth)(cam_r, rot_right, tris_w)
+        return jnp.concatenate([d_l, d_r], axis=0)  # (2N, h, w)
 
     # -------------------------------------------------------------------- obs
     def _observations(self, state, tactile, obs_key=None):
@@ -415,10 +506,10 @@ class FactoryEnv(DirectRLEnv):
         n = c.num_envs
         tool_pos, tool_quat = self._tool_pose(state.arm.q)
         hole_top = self._fixed_target(state)
-        # EE velocity from the servo joint rates through the Jacobian
-        _, _, orig, ax = franka.forward_kinematics(state.arm.q, ee_offset_pos=self._ee_off)
+        # EE velocity from the joint rates through the Jacobian
+        _, _, orig, ax = franka.forward_kinematics(state.arm.q[:, :7], ee_offset_pos=self._ee_off)
         jac = franka.geometric_jacobian(tool_pos, orig, ax)
-        ee_vel = jnp.einsum("nij,nj->ni", jac, state.arm.qd)
+        ee_vel = jnp.einsum("nij,nj->ni", jac, state.arm.qd[:, :7])
         proprio = jnp.concatenate(
             [
                 tool_pos - hole_top,  # fingertip_pos_rel_fixed
@@ -437,3 +528,9 @@ class FactoryEnv(DirectRLEnv):
             # factory_env_cfg.py:192-213)
             vision = jnp.concatenate([tactile[:, 0], tactile[:, 1]], axis=-1)
         return {"proprio_obs": proprio, "vision_obs": vision}, None
+
+
+# camera-orientation constants: rotate camera +Z onto the hand -y / +y axis
+# (90deg about x maps +z->-y... verified in tests against hand geometry)
+_QUAT_PZ_TO_NY = jnp.array([math.cos(math.pi / 4), math.sin(math.pi / 4), 0.0, 0.0])
+_QUAT_PZ_TO_PY = jnp.array([math.cos(-math.pi / 4), math.sin(-math.pi / 4), 0.0, 0.0])
