@@ -43,6 +43,61 @@ from .fem import lame_params, lumped_masses, precompute_rest, stable_neo_hookean
 from .mesh import TetMesh
 
 
+def _point_triangle_distance(p, a, b, c):
+    """Unsigned distance point->triangle, broadcast over leading dims.
+
+    Closest-point-on-triangle via clamped barycentrics (Ericson RTCD 5.1.5),
+    written as a jnp.where cascade; eps-padded sqrt keeps autodiff finite at
+    the (never active in practice) zero-distance point.
+    """
+    ab, ac, ap = b - a, c - a, p - a
+
+    def dot(u, v):
+        return (u * v).sum(-1)
+
+    d1, d2 = dot(ab, ap), dot(ac, ap)
+    bp = p - b
+    d3, d4 = dot(ab, bp), dot(ac, bp)
+    cp = p - c
+    d5, d6 = dot(ab, cp), dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom_f = jnp.maximum(va + vb + vc, 1e-30)
+    v_f = (vb / denom_f)[..., None]
+    w_f = (vc / denom_f)[..., None]
+
+    # edge parameterizations (guarded divisions)
+    t_ab = jnp.clip(d1 / jnp.where(jnp.abs(d1 - d3) > 1e-30, d1 - d3, 1e-30), 0.0, 1.0)[..., None]
+    t_ac = jnp.clip(d2 / jnp.where(jnp.abs(d2 - d6) > 1e-30, d2 - d6, 1e-30), 0.0, 1.0)[..., None]
+    t_bc_num = d4 - d3
+    t_bc_den = (d4 - d3) + (d5 - d6)
+    t_bc = jnp.clip(
+        t_bc_num / jnp.where(jnp.abs(t_bc_den) > 1e-30, t_bc_den, 1e-30), 0.0, 1.0
+    )[..., None]
+
+    q = a + v_f * ab + w_f * ac  # face region default
+    # region cascade (later writes win -> order from face to vertices)
+    q_edge_ab = a + t_ab * ab
+    q_edge_ac = a + t_ac * ac
+    q_edge_bc = b + t_bc * (c - b)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+    at_a = (d1 <= 0) & (d2 <= 0)
+    at_b = (d3 >= 0) & (d4 <= d3)
+    at_c = (d6 >= 0) & (d5 <= d6)
+
+    q = jnp.where(on_bc[..., None], q_edge_bc, q)
+    q = jnp.where(on_ac[..., None], q_edge_ac, q)
+    q = jnp.where(on_ab[..., None], q_edge_ab, q)
+    q = jnp.where(at_c[..., None], c, q)
+    q = jnp.where(at_b[..., None], b, q)
+    q = jnp.where(at_a[..., None], a, q)
+    return jnp.sqrt(((p - q) ** 2).sum(-1) + 1e-18)
+
+
 @configclass
 class IpcSolverCfg:
     """Solver configuration (defaults mirror UipcSimCfg where applicable)."""
@@ -58,6 +113,11 @@ class IpcSolverCfg:
     friction_mu: float = 0.5  # default_friction_ratio
     eps_velocity: float = 0.01  # friction smoothing velocity (m/s)
     damping: float = 0.0
+    # FEM-FEM / self contact: vertex-vs-surface-triangle barriers over a
+    # fixed-capacity candidate set (K nearest non-adjacent triangles per
+    # surface vertex, re-selected each step). 0 disables. Two separate gels
+    # pressing each other = the same machinery on their union mesh.
+    self_contact_k: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -98,17 +158,19 @@ class SoftBodyModel:
     def __init__(
         self,
         mesh: TetMesh,
-        youngs_modulus: float = 1.45e5,  # Pa (reference gelpad cfgs use ~0.145 MPa)
-        poisson_ratio: float = 0.45,
-        mass_density: float = 1000.0,
+        youngs_modulus=1.45e5,  # Pa, scalar or (T,) per-tet (reference ~0.145 MPa)
+        poisson_ratio=0.45,  # scalar or (T,)
+        mass_density=1000.0,  # scalar or (T,)
         cfg: IpcSolverCfg | None = None,
         attachment_verts: np.ndarray | None = None,
-        attachment_strength_ratio: float = 100.0,
+        attachment_strength_ratio=100.0,  # scalar or (Va,) per attachment vertex
     ):
         self.mesh = mesh
         self.cfg = cfg or IpcSolverCfg()
         mu, lam = lame_params(youngs_modulus, poisson_ratio)
-        self.mu, self.lam = float(mu), float(lam)
+        # per-tet arrays broadcast through the energy; keep scalars as floats
+        self.mu = float(mu) if np.ndim(mu) == 0 else jnp.asarray(mu, jnp.float32)
+        self.lam = float(lam) if np.ndim(lam) == 0 else jnp.asarray(lam, jnp.float32)
 
         dm_inv, vol = precompute_rest(mesh.points, mesh.tets)
         self.tets = jnp.asarray(mesh.tets)
@@ -116,6 +178,18 @@ class SoftBodyModel:
         self.rest_vol = jnp.asarray(vol)
         self.masses = jnp.asarray(lumped_masses(mesh.points, mesh.tets, mass_density))  # (V,)
         self.surface_verts = jnp.asarray(mesh.surface_verts)
+        self.surface_tris = jnp.asarray(mesh.surface_tris)  # (Ts, 3) vertex ids
+        # vertex-in-triangle exclusion for self contact (IPC convention:
+        # a vertex never collides with a triangle it belongs to)
+        sv = np.asarray(mesh.surface_verts)
+        st = np.asarray(mesh.surface_tris)
+        self._vt_exclude = jnp.asarray(
+            (sv[:, None, None] == st[None, :, :]).any(-1)
+        )  # (Vs, Ts) bool
+        tri_pts = mesh.points[st]  # (Ts, 3, 3)
+        self._tri_radius_max = float(
+            np.linalg.norm(tri_pts - tri_pts.mean(1, keepdims=True), axis=-1).max()
+        )
 
         # attachments: soft position constraints (UipcIsaacAttachments
         # semantics — strength = ratio x object mass, uipc_attachments.py:36-66)
@@ -131,6 +205,30 @@ class SoftBodyModel:
             attachment_strength_ratio * m_attach / self.cfg.dt**2, jnp.float32
         )[:, None]
 
+    # ----------------------------------------------------------- self contact
+    def _select_candidates(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Broad phase: K nearest non-adjacent surface triangles per surface
+        vertex, by centroid distance at the step's starting configuration
+        (indices are constants through the Newton solve — stop_gradient'd).
+
+        Returns (cand (Vs, K) triangle ids, valid (Vs, K) bool)."""
+        k = self.cfg.self_contact_k
+        xs = x[self.surface_verts]  # (Vs, 3)
+        cent = x[self.surface_tris].mean(-2)  # (Ts, 3)
+        d2 = ((xs[:, None, :] - cent[None]) ** 2).sum(-1)  # (Vs, Ts)
+        d2 = jnp.where(self._vt_exclude, jnp.inf, d2)
+        neg, cand = jax.lax.top_k(-d2, k)
+        # prune candidates whose centroid is beyond barrier reach this step
+        cut = 3.0 * self.cfg.d_hat + self._tri_radius_max
+        valid = (-neg) < cut * cut
+        return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
+
+    def _pair_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+        """Unsigned vertex-triangle distances for the candidate set -> (Vs, K)."""
+        p = x[self.surface_verts][:, None, :]  # (Vs, 1, 3)
+        tri = x[self.surface_tris[cand]]  # (Vs, K, 3, 3)
+        return _point_triangle_distance(p, tri[..., 0, :], tri[..., 1, :], tri[..., 2, :])
+
     # ---------------------------------------------------------------- energy
     def _barrier(self, d: jax.Array) -> jax.Array:
         """IPC log-barrier on signed distances, NaN-safe for autodiff."""
@@ -140,13 +238,19 @@ class SoftBodyModel:
         b = -self.cfg.kappa * (d_safe - dh) ** 2 * jnp.log(jnp.where(active, d_safe / dh, 1.0))
         return jnp.where(active, b, 0.0).sum()
 
-    def _energy(self, x, x_tilde, scene, aim_pos, x_prev, friction_basis):
+    def _energy(self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None):
         c = self.cfg
         inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
         elastic = stable_neo_hookean_energy(x, self.tets, self.dm_inv, self.rest_vol, self.mu, self.lam)
         xs = x[self.surface_verts]
         d = sdf_ops.scene_sdf(xs, scene.spheres, scene.boxes, scene.capsules, scene.planes)
         contact = self._barrier(d)
+        if self_cand is not None:
+            cand, valid = self_cand
+            d_vt = self._pair_distances(x, cand)
+            # inactive pairs pushed past d_hat so the barrier ignores them
+            d_vt = jnp.where(valid, d_vt, 10.0 * c.d_hat)
+            contact = contact + self._barrier(d_vt)
         attach = 0.0
         if self.attachment_verts.shape[0] > 0:
             attach = 0.5 * jnp.sum(self.attachment_k * (x[self.attachment_verts] - aim_pos) ** 2)
@@ -189,10 +293,20 @@ class SoftBodyModel:
         )
         friction_basis = (lam_n, n_dir) if c.friction_mu > 0 else None
 
-        energy = lambda xx: self._energy(xx, x_tilde, scene, aim_pos, x, friction_basis)
+        # FEM-FEM / self contact: fixed-capacity candidate set for this step
+        self_cand = self._select_candidates(x) if c.self_contact_k > 0 else None
+
+        energy = lambda xx: self._energy(
+            xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand
+        )
 
         def feasible(xx):
-            return sdf_fn(xx[self.surface_verts]).min() > 0.0
+            ok = sdf_fn(xx[self.surface_verts]).min() > 0.0
+            if self_cand is not None:
+                cand, valid = self_cand
+                d_vt = self._pair_distances(xx, cand)
+                ok = ok & (jnp.where(valid, d_vt, 1.0).min() > 1e-6)
+            return ok
 
         def newton_iter(_, carry):
             x_k, done = carry

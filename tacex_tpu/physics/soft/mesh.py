@@ -242,3 +242,36 @@ def extract_surface(tets: np.ndarray, points: np.ndarray) -> np.ndarray:
     outward = np.einsum("ij,ij->i", n, v0 - centroids) > 0
     bfaces[~outward] = bfaces[~outward][:, [0, 2, 1]]
     return bfaces
+
+
+def union_meshes(parts: list[TetMesh]) -> tuple[TetMesh, np.ndarray]:
+    """Disjoint union of tet meshes into ONE solver topology.
+
+    Two separate gels pressing each other (the core GelSight-gripper
+    scenario) become a single SoftBodyModel whose self-contact machinery
+    resolves the gel-vs-gel barrier — no special FEM-FEM pairing code.
+
+    Returns (union_mesh, vertex_offsets (len(parts)+1,)) so callers can
+    slice each part's vertices back out (the reference tracks the same
+    per-object global vertex offsets, uipc_sim.py:228-248).
+    """
+    offsets = np.zeros(len(parts) + 1, np.int64)
+    pts, tets, tris = [], [], []
+    for i, m in enumerate(parts):
+        off = offsets[i]
+        pts.append(np.asarray(m.points, np.float32))
+        tets.append(np.asarray(m.tets, np.int64) + off)
+        tris.append(np.asarray(m.surface_tris, np.int64) + off)
+        offsets[i + 1] = off + m.points.shape[0]
+    points = np.concatenate(pts)
+    all_tets = np.concatenate(tets).astype(np.int32)
+    all_tris = np.concatenate(tris).astype(np.int32)
+    return (
+        TetMesh(
+            points=points,
+            tets=all_tets,
+            surface_tris=all_tris,
+            surface_verts=np.unique(all_tris).astype(np.int32),
+        ),
+        offsets,
+    )

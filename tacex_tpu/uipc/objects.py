@@ -106,6 +106,7 @@ class UipcObject:
         self.init_vertex_pos = np.asarray(mesh.points, np.float32)
         self._attachment_verts: np.ndarray | None = None
         self._aim_provider = None
+        self._union_range: tuple[int, int] | None = None
         uipc_sim.register_object(self)
 
     # ------------------------------------------------------------ finalization
@@ -133,6 +134,18 @@ class UipcObject:
         self.state = SoftBodyState.init(sim.cfg.num_envs, self.mesh.points)
         self._step = jax.jit(self.model.step)
 
+    def _set_union_view(self, sim, lo: int, hi: int) -> None:
+        """Union contact world: this object's vertices live in the sim's
+        shared model at [lo:hi); its state is a materialized slice."""
+        self._union_range = (lo, hi)
+        self.model = None
+        self._refresh_union_slice()
+
+    def _refresh_union_slice(self) -> None:
+        lo, hi = self._union_range
+        u = self.sim._union_state
+        self.state = SoftBodyState(x=u.x[:, lo:hi], v=u.v[:, lo:hi])
+
     # ------------------------------------------------------------------- step
     def _advance(self, scene: RigidSdfScene) -> None:
         aim = self._aim_provider() if self._aim_provider is not None else None
@@ -140,6 +153,8 @@ class UipcObject:
 
     # ------------------------------------------------------------------ views
     def surface_positions(self) -> jax.Array:
+        if self._union_range is not None:
+            return self.state.x[:, jnp.asarray(self.mesh.surface_verts)]
         return self.model.surface_positions(self.state)
 
     @property
@@ -156,9 +171,18 @@ class UipcObject:
         """Reset mechanism (reference forked write_vertex_pos_to_sim)."""
         if env_mask is None:
             x = jnp.broadcast_to(positions, self.state.x.shape)
-            self.state = SoftBodyState(x=x, v=jnp.zeros_like(x))
+            new = SoftBodyState(x=x, v=jnp.zeros_like(x))
         else:
             m = env_mask[:, None, None]
             x = jnp.where(m, positions, self.state.x)
             v = jnp.where(m, 0.0, self.state.v)
-            self.state = SoftBodyState(x=x, v=v)
+            new = SoftBodyState(x=x, v=v)
+        if self._union_range is not None:
+            lo, hi = self._union_range
+            u = self.sim._union_state
+            self.sim._union_state = SoftBodyState(
+                x=u.x.at[:, lo:hi].set(new.x), v=u.v.at[:, lo:hi].set(new.v)
+            )
+            self._refresh_union_slice()
+        else:
+            self.state = new

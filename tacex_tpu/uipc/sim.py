@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import configclass
-from ..physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyState
+from ..physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState
 
 
 @configclass
@@ -65,6 +65,10 @@ class UipcSimCfg:
         constitution: str = "ipc"
         d_hat: float = 0.001
         eps_velocity: float = 0.01
+        # vertex-vs-triangle candidates per surface vertex for FEM-FEM and
+        # self contact (libuipc resolves these through its BVH; here a
+        # fixed-capacity K-nearest candidate set — 0 disables)
+        self_contact_k: int = 0
 
     newton: "UipcSimCfg.Newton" = None
     linear_system: "UipcSimCfg.LinearSystem" = None
@@ -97,6 +101,7 @@ class UipcSimCfg:
             kappa=self.contact.resistance,
             friction_mu=(self.contact.default_friction_ratio if self.contact.friction else 0.0),
             eps_velocity=self.contact.eps_velocity,
+            self_contact_k=(self.contact.self_contact_k if self.contact.enable else 0),
         )
 
 
@@ -112,6 +117,9 @@ class UipcSim:
         self.cfg = cfg or UipcSimCfg()
         self.objects: list[Any] = []  # UipcObject instances
         self._step_fn = None
+        self._union_model = None
+        self._union_state = None
+        self._union_aim_objs: list[Any] = []
         self._frames: dict[int, list[SoftBodyState]] = {}
         self._frame_counter = 0
         self._timings: dict[str, float] = {}
@@ -124,17 +132,72 @@ class UipcSim:
         return len(self.objects) - 1
 
     def setup_sim(self) -> None:
-        """Finalize the scene: build each object's solver model + jit step.
+        """Finalize the scene: build the solver model(s) + jit step.
 
         (Counterpart of world.init + vertex-offset bookkeeping,
-        uipc_sim.py:228-248; per-object global offsets are unnecessary here —
-        objects keep their own state pytrees.)
+        uipc_sim.py:228-248.) With contact.self_contact_k > 0 and more than
+        one FEM object, ALL FEM objects are merged into ONE union model so
+        the vertex-triangle barrier resolves object-vs-object (FEM-FEM)
+        contact — the libuipc behavior of a shared contact world. Otherwise
+        each object solves independently (cheaper; round-1 behavior).
         """
-        for obj in self.objects:
-            obj._finalize(self)
+        self._union_model = None
+        self._union_state = None
+        if self.cfg.contact.self_contact_k > 0 and len(self.objects) >= 2:
+            self._setup_union()
+        else:
+            for obj in self.objects:
+                obj._finalize(self)
         if self.cfg.sanity_check:
             self._sanity_check()
         self._setup = True
+
+    def _setup_union(self) -> None:
+        from ..physics.soft.mesh import union_meshes
+        from .objects import StableNeoHookeanCfg
+
+        for obj in self.objects:
+            if not isinstance(obj.cfg.constitution, StableNeoHookeanCfg):
+                raise NotImplementedError(
+                    "union contact world currently supports FEM constitutions"
+                )
+        mesh, offsets = union_meshes([o.mesh for o in self.objects])
+        youngs, poisson, density = [], [], []
+        att_verts, att_ratio = [], []
+        self._union_aim_objs = []
+        for i, obj in enumerate(self.objects):
+            con = obj.cfg.constitution
+            nt = obj.mesh.tets.shape[0]
+            youngs.append(np.full(nt, con.youngs_modulus * 1e6, np.float32))
+            poisson.append(np.full(nt, con.poisson_rate, np.float32))
+            density.append(np.full(nt, obj.cfg.mass_density, np.float32))
+            if obj._attachment_verts is not None and len(obj._attachment_verts) > 0:
+                att_verts.append(np.asarray(obj._attachment_verts, np.int64) + offsets[i])
+                att_ratio.append(
+                    np.full(
+                        len(obj._attachment_verts),
+                        getattr(obj, "_attachment_strength", 100.0),
+                        np.float32,
+                    )
+                )
+                self._union_aim_objs.append(obj)
+        self._union_model = SoftBodyModel(
+            mesh,
+            youngs_modulus=np.concatenate(youngs),
+            poisson_ratio=np.concatenate(poisson),
+            mass_density=np.concatenate(density),
+            cfg=self.cfg.to_solver_cfg(),
+            attachment_verts=(
+                np.concatenate(att_verts).astype(np.int32) if att_verts else None
+            ),
+            attachment_strength_ratio=(
+                np.concatenate(att_ratio) if att_ratio else 100.0
+            ),
+        )
+        self._union_state = SoftBodyState.init(self.cfg.num_envs, mesh.points)
+        self._union_step_fn = jax.jit(self._union_model.step)
+        for i, obj in enumerate(self.objects):
+            obj._set_union_view(self, int(offsets[i]), int(offsets[i + 1]))
 
     def _sanity_check(self) -> None:
         """Validate scene consistency before solving — the counterpart of
@@ -186,8 +249,22 @@ class UipcSim:
                 [scene.planes, jnp.broadcast_to(jnp.asarray(plane), (n, 1, 4))], axis=1
             )
             scene = dataclasses.replace(scene, planes=planes)
-        for obj in self.objects:
-            obj._advance(scene)
+        if self._union_model is not None:
+            aim = None
+            if self._union_aim_objs:
+                aims = [
+                    o._aim_provider()
+                    for o in self._union_aim_objs
+                    if o._aim_provider is not None
+                ]
+                if aims:
+                    aim = jnp.concatenate(aims, axis=1)
+            self._union_state = self._union_step_fn(self._union_state, scene, aim)
+            for obj in self.objects:
+                obj._refresh_union_slice()
+        else:
+            for obj in self.objects:
+                obj._advance(scene)
         jax.block_until_ready([o.state.x for o in self.objects])
         if self.cfg.diff_sim:  # reuse the flag to request per-step diagnostics
             self.check_health()
@@ -229,6 +306,11 @@ class UipcSim:
             raise KeyError(f"no saved frame {frame}; saved: {sorted(self._frames)}")
         for obj, st in zip(self.objects, self._frames[frame]):
             obj.state = st
+        if self._union_model is not None:
+            self._union_state = SoftBodyState(
+                x=jnp.concatenate([o.state.x for o in self.objects], axis=1),
+                v=jnp.concatenate([o.state.v for o in self.objects], axis=1),
+            )
         self._frame_counter = frame
 
     # ------------------------------------------------------------- profiling
