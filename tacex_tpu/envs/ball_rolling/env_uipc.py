@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import maths
+from ...core.config import configclass
 from ...physics.rigid import contact, franka
 from ...physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState
 from ...physics.soft.mesh import box_tet_mesh
@@ -51,8 +52,13 @@ class _UipcCfgDefaults:
     cg_iters: int = 16
 
 
+@configclass
 class BallRollingUipcEnvCfg(BallRollingEnvCfg):
-    pass
+    # gel material (reference UipcObjectCfg StableNeoHookean youngs_modulus;
+    # exposed so tests can show the ball DYNAMICS respond to gel stiffness —
+    # the two-way coupling's observable)
+    gel_youngs_modulus_pa: float = 1.45e5
+    gel_poisson_ratio: float = 0.45
 
 
 @jax.tree_util.register_dataclass
@@ -87,8 +93,8 @@ class BallRollingUipcEnv(BallRollingEnv):
         )
         self.gel = SoftBodyModel(
             self.gel_mesh,
-            youngs_modulus=d.youngs_modulus_pa,
-            poisson_ratio=d.poisson_ratio,
+            youngs_modulus=getattr(cfg, "gel_youngs_modulus_pa", d.youngs_modulus_pa),
+            poisson_ratio=getattr(cfg, "gel_poisson_ratio", d.poisson_ratio),
             cfg=solver_cfg,
             attachment_verts=top,
         )
@@ -163,23 +169,51 @@ class BallRollingUipcEnv(BallRollingEnv):
         ball_pos, ball_quat = base.ball_pos, base.ball_quat
         ball_lin, ball_ang = base.ball_lin, base.ball_ang
 
-        # rigid ball substeps against plate + (compliant) gel box proxy
+        # rigid ball substeps: plate contact + TWO-WAY gel coupling. The gel
+        # force on the ball is the action-reaction of the IPC barrier,
+        # -dE_barrier/d(ball center), evaluated against the LAST solve's gel
+        # surface (staggered scheme; the gel then re-solves against the new
+        # ball position below). Replaces round-1's one-way rigid box proxy.
         sub_dt = c.sim_dt / c.physics_substeps
-        half = jnp.asarray(GELPAD_HALF, jnp.float32)
+        bp = self.ball_params
         tool_pos, _ = self._tool_pose(arm.q)
         for _ in range(c.physics_substeps):
             tool_prev = tool_pos
             arm = franka.servo_step(arm, sub_dt)
             tool_pos, tool_quat = self._tool_pose(arm.q)
-            pad_pos, pad_quat = self._gelpad_pose(tool_pos, tool_quat)
             pad_vel = (tool_pos - tool_prev) / sub_dt
 
             ball_lin = ball_lin + jnp.array([0.0, 0.0, -9.81]) * sub_dt
-            dl, da = contact.sphere_box_contact(
-                ball_pos, ball_lin, ball_ang, pad_pos, pad_quat, pad_vel,
-                half, self.ball_params, sub_dt, stiffness_scale=c.gel_compliance,
+            sph = jnp.concatenate([ball_pos, jnp.full((n, 1), c.ball_radius)], -1)[:, None]
+            zeros_scene = RigidSdfScene(
+                spheres=sph,
+                boxes=jnp.zeros((n, 1, 10)),
+                capsules=jnp.zeros((n, 1, 8)),
+                planes=jnp.zeros((n, 1, 4)),
             )
-            ball_lin, ball_ang = ball_lin + dl, ball_ang + da
+            f_gel = self.gel.sphere_contact_force(gel_state, zeros_scene)[:, 0]  # (N, 3)
+            f_mag = jnp.linalg.norm(f_gel, axis=-1)
+            # normal impulse (capped: the log barrier is singular at d->0)
+            dv = f_gel * (sub_dt / bp.mass)
+            dv_n = jnp.linalg.norm(dv, axis=-1, keepdims=True)
+            dv = dv * jnp.minimum(1.0, 0.25 / jnp.maximum(dv_n, 1e-9))
+            ball_lin = ball_lin + dv
+            # Coulomb friction at the gel contact: oppose slip of the ball
+            # surface against the (attached, tool-following) gel
+            in_contact = f_mag > 1e-6
+            n_dir = f_gel / jnp.maximum(f_mag, 1e-9)[..., None]
+            r_vec = -c.ball_radius * n_dir
+            v_cp = ball_lin + jnp.cross(ball_ang, r_vec) - pad_vel
+            vt = v_cp - jnp.sum(v_cp * n_dir, -1, keepdims=True) * n_dir
+            vt_mag = jnp.linalg.norm(vt, axis=-1)
+            # effective mass at the contact for a tangential impulse
+            m_eff = 1.0 / (bp.inv_mass + bp.inv_inertia * c.ball_radius**2)
+            jt = jnp.minimum(bp.friction * f_mag * sub_dt, m_eff * vt_mag)
+            t_dir = vt / jnp.maximum(vt_mag, 1e-9)[..., None]
+            imp = -jt[..., None] * t_dir * in_contact[..., None]
+            ball_lin = ball_lin + imp * bp.inv_mass
+            ball_ang = ball_ang + bp.inv_inertia * jnp.cross(r_vec, imp)
+
             dl, da = contact.sphere_plane_contact(
                 ball_pos, ball_lin, ball_ang, (0.0, 0.0, 1.0), c.plate_top_z,
                 self.ball_params, sub_dt,

@@ -383,3 +383,28 @@ class SoftBodyModel:
 
     def surface_positions(self, state: SoftBodyState) -> jax.Array:
         return state.x[:, self.surface_verts]
+
+    def sphere_contact_force(self, state: SoftBodyState, scene: RigidSdfScene) -> jax.Array:
+        """Reaction force the gel exerts on each sphere collider -> (N, S, 3).
+
+        Action-reaction on the shared barrier potential: the force on a
+        rigid sphere is -dE_barrier/d(center), evaluated at the solved gel
+        configuration (VERDICT round-1 item #6 — two-way coupling instead of
+        a rigid box proxy). Gradients flow only through surface vertices
+        whose nearest scene primitive is that sphere (min composition), so
+        no pair bookkeeping is needed.
+        """
+
+        def one(x, sph, box, cap, pl):
+            xs = x[self.surface_verts]
+
+            def eb(s):
+                d = sdf_ops.scene_sdf(xs, s, box, cap, pl)
+                return self._barrier(d)
+
+            g = jax.grad(eb)(sph)  # (S, 4): d/d(center xyz), d/d(radius)
+            return -g[:, :3]
+
+        return jax.vmap(one)(
+            state.x, scene.spheres, scene.boxes, scene.capsules, scene.planes
+        )
