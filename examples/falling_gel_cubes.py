@@ -5,6 +5,11 @@ drives libuipc inside Isaac): N environments each drop a soft cube onto the
 ground plane; the batched IPC solver keeps them penetration-free.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root, so scripts run from anywhere
+
 import numpy as np
 
 import jax

@@ -6,6 +6,11 @@ and dragged through a small motion while pressing a sphere — the classic
 two-way-coupling showcase, here batched over 2 envs.
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root, so scripts run from anywhere
+
 import numpy as np
 
 import jax

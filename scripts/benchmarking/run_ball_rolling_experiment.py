@@ -17,6 +17,12 @@ Usage: python scripts/benchmarking/run_ball_rolling_experiment.py \
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root, so scripts run from anywhere
+
+
 import argparse
 import json
 import platform

@@ -13,6 +13,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root, so scripts run from anywhere
+
 from tacex_tpu.assets.shapes import shape_height_map
 from tacex_tpu.sensors.gelsight import taxim as tx
 from tacex_tpu.sensors.gelsight.fots import marker_motion as fots

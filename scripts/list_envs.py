@@ -1,5 +1,10 @@
 """List all registered task environments (reference scripts/reinforcement_learning/list_envs.py)."""
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root, so scripts run from anywhere
+
 from tacex_tpu import envs
 
 

@@ -14,6 +14,11 @@ import numpy as np
 
 import jax
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root, so scripts run from anywhere
+
 from tacex_tpu import envs
 from tacex_tpu.rl import PPO, PPOConfig
 
