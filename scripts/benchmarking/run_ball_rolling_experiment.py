@@ -66,20 +66,33 @@ def main() -> None:
 
     # Split timing: physics-only step vs full step (tactile = full - physics).
     # The reference wraps separate sim.step / sensor.update calls
-    # (run_ball_rolling_experiment.py:217-233); in a fused jitted step we
-    # time the full step and a physics+dones-only variant compiled from the
-    # same env.
+    # (run_ball_rolling_experiment.py:217-233); in a fused jitted step the
+    # stages can't be timed in isolation, so we time the full step AND the
+    # env's step_physics_only variant (same IK/servo/contact/FEM work, no
+    # tactile stage) compiled from the same env, and attribute the
+    # difference to the tactile stage.
     step_full = jax.jit(env.step)
+    step_phys = jax.jit(env.step_physics_only)
 
-    # warmup/compile
+    # warmup/compile both
     s, obs, rew, term, trunc, info = step_full(state, motion_pattern(0, args.num_envs))
     jax.block_until_ready(rew)
+    sp = step_phys(state, motion_pattern(0, args.num_envs))
+    jax.block_until_ready(jax.tree_util.tree_leaves(sp)[0])
 
     in_contact_frames = 0
     t_total = 0.0
+    t_phys = 0.0
     state = s
     for i in range(args.steps):
         a = motion_pattern(i, args.num_envs)
+        # physics-only replay from the same pre-step state (discarded): the
+        # two timings cover identical physics work.
+        t0 = time.perf_counter()
+        sp = step_phys(state, a)
+        jax.block_until_ready(jax.tree_util.tree_leaves(sp)[0])
+        t_phys += time.perf_counter() - t0
+
         t0 = time.perf_counter()
         state, obs, rew, term, trunc, info = step_full(state, a)
         jax.block_until_ready(rew)
@@ -87,6 +100,13 @@ def main() -> None:
         in_contact_frames += int((np.asarray(info["indentation_depth"]) > 0).sum())
 
     total_frames = args.steps * args.num_envs
+    phys_ms = t_phys / args.steps * 1e3
+    full_ms = t_total / args.steps * 1e3
+    tact_ms = max(full_ms - phys_ms, 0.0)
+    # Reference normalization (run_ball_rolling_experiment.py:144-150): avg
+    # tactile ms per IN-CONTACT frame — frames without contact render a
+    # trivial background image there, so contact frames carry the cost.
+    contact_steps = max(in_contact_frames / max(args.num_envs, 1), 1e-9)
     report = {
         "env_variant": args.env,
         "env_id": env_id,
@@ -94,7 +114,10 @@ def main() -> None:
         "steps": args.steps,
         "total_frames": total_frames,
         "in_contact_frames": in_contact_frames,
-        "avg_ms_per_step": round(t_total / args.steps * 1e3, 3),
+        "avg_ms_per_step": round(full_ms, 3),
+        "avg_physics_ms_per_step": round(phys_ms, 3),
+        "avg_tactile_ms_per_step": round(tact_ms, 3),
+        "avg_tactile_ms_per_in_contact_step": round(tact_ms * args.steps / contact_steps, 3),
         "frames_per_sec": round(total_frames / t_total, 1),
         "system": {
             "platform": platform.platform(),

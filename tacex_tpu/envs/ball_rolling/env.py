@@ -125,6 +125,36 @@ class BallRollingEnvCfg(DirectRLEnvCfg):
         }
     )
 
+    # domain-randomization events, resampled per env at reset (reference
+    # EventCfg, ball_rolling_taxim_fots.py:84-165: rigid-body material
+    # friction/restitution on ball/plate/gelpad, additive ball mass, gaussian
+    # gravity perturbation). Pair friction for a contact is the mean of the
+    # two bodies' sampled frictions (PhysX default combine mode "average").
+    events_cfg: dict = dataclasses.field(
+        default_factory=lambda: {
+            "enabled": True,
+            "ball_friction_range": (0.25, 1.0),
+            "ball_restitution_range": (0.0, 0.5),
+            "ball_mass_add_range": (-0.005, 0.005),
+            "plate_friction_range": (0.1, 1.0),
+            "pad_friction_range": (0.5, 1.0),
+            "gravity_z_std": 0.4,
+        }
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DomainRandomization:
+    """Per-env physics parameters, resampled at reset (reference EventCfg)."""
+
+    ball_friction: jax.Array  # (N,)
+    ball_restitution: jax.Array  # (N,)
+    ball_mass: jax.Array  # (N,)
+    plate_friction: jax.Array  # (N,)
+    pad_friction: jax.Array  # (N,)
+    gravity_z: jax.Array  # (N,)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -142,6 +172,7 @@ class BallRollingState:
     total_episode_rew: jax.Array  # (N,)
     curriculum: jax.Array  # (3,) int32
     key: jax.Array
+    dr: DomainRandomization
 
 
 class BallRollingEnv(DirectRLEnv):
@@ -193,6 +224,35 @@ class BallRollingEnv(DirectRLEnv):
         return tool_pos - dist * z_axis, tool_quat
 
     # ------------------------------------------------------------------ state
+    def _default_dr(self, n: int) -> DomainRandomization:
+        c = self.cfg
+        full = lambda v: jnp.full((n,), v, jnp.float32)
+        return DomainRandomization(
+            ball_friction=full(c.ball_friction),
+            ball_restitution=full(0.0),
+            ball_mass=full(c.ball_mass),
+            plate_friction=full(c.ball_friction),
+            pad_friction=full(c.ball_friction),
+            gravity_z=full(-9.81),
+        )
+
+    def _sample_dr(self, key: jax.Array, n: int) -> DomainRandomization:
+        """Per-env event sampling (reference EventCfg 'reset'-mode terms)."""
+        c = self.cfg
+        e = c.events_cfg
+        if not e.get("enabled", False):
+            return self._default_dr(n)
+        ks = jax.random.split(key, 6)
+        u = lambda k, rng: jax.random.uniform(k, (n,), minval=rng[0], maxval=rng[1])
+        return DomainRandomization(
+            ball_friction=u(ks[0], e["ball_friction_range"]),
+            ball_restitution=u(ks[1], e["ball_restitution_range"]),
+            ball_mass=jnp.maximum(c.ball_mass + u(ks[2], e["ball_mass_add_range"]), 0.2 * c.ball_mass),
+            plate_friction=u(ks[3], e["plate_friction_range"]),
+            pad_friction=u(ks[4], e["pad_friction_range"]),
+            gravity_z=-9.81 + e["gravity_z_std"] * jax.random.normal(ks[5], (n,)),
+        )
+
     def init_state(self, key: jax.Array) -> BallRollingState:
         n = self.cfg.num_envs
         return BallRollingState(
@@ -209,13 +269,17 @@ class BallRollingEnv(DirectRLEnv):
             total_episode_rew=jnp.zeros((n,)),
             curriculum=jnp.zeros((3,), jnp.int32),
             key=key,
+            dr=self._default_dr(n),
         )
 
     def _reset_where(self, state: BallRollingState, mask: jax.Array) -> BallRollingState:
         """Masked vectorized reset (reference _reset_idx:709-760)."""
         n = self.cfg.num_envs
-        key, k1, k2, k3 = jax.random.split(state.key, 4)
+        key, k1, k2, k3, k_dr = jax.random.split(state.key, 5)
         m1 = mask[:, None]
+
+        new_dr = self._sample_dr(k_dr, n)
+        dr = jax.tree_util.tree_map(lambda new, old: jnp.where(mask, new, old), new_dr, state.dr)
 
         ball0 = jnp.asarray(self.cfg.ball_default_pos, jnp.float32)
         ball_noise = jax.random.uniform(k1, (n, 2), minval=-0.00025, maxval=0.00025)
@@ -277,6 +341,7 @@ class BallRollingEnv(DirectRLEnv):
             total_episode_rew=jnp.where(mask, 0.0, state.total_episode_rew),
             curriculum=state.curriculum,
             key=key,
+            dr=dr,
         )
 
     def reset_all(self, state: BallRollingState):
@@ -285,10 +350,9 @@ class BallRollingEnv(DirectRLEnv):
         return state, obs
 
     # ------------------------------------------------------------------- step
-    def step(self, state: BallRollingState, action: jax.Array):
+    def _physics_step(self, state: BallRollingState, action: jax.Array, k_act: jax.Array):
+        """IK + servo + contact substeps (everything before the tactile frame)."""
         c = self.cfg
-        n = c.num_envs
-        key, k_act, k_obs = jax.random.split(state.key, 3)
 
         prev_actions = state.actions
         # NaN guard: a diverged policy must not poison the sim state (NaN
@@ -310,6 +374,18 @@ class BallRollingEnv(DirectRLEnv):
         ball_pos, ball_quat = state.ball_pos, state.ball_quat
         ball_lin, ball_ang = state.ball_lin, state.ball_ang
 
+        # per-env randomized physics (reference EventCfg) — pair friction is
+        # the mean of both bodies' sampled coefficients (PhysX "average").
+        dr = state.dr
+        pad_params = contact.SphereParams(
+            radius=c.ball_radius, mass=dr.ball_mass, restitution=dr.ball_restitution,
+            friction=0.5 * (dr.ball_friction + dr.pad_friction),
+        )
+        plate_params = dataclasses.replace(
+            pad_params, friction=0.5 * (dr.ball_friction + dr.plate_friction)
+        )
+        gravity = jnp.stack([jnp.zeros_like(dr.gravity_z), jnp.zeros_like(dr.gravity_z), dr.gravity_z], -1)
+
         sub_dt = c.sim_dt / c.physics_substeps
         half = jnp.asarray(GELPAD_HALF, jnp.float32)
         tool_pos, _ = self._tool_pose(arm.q)
@@ -321,20 +397,51 @@ class BallRollingEnv(DirectRLEnv):
                 pad_pos, pad_quat = self._gelpad_pose(tool_pos, tool_quat)
                 pad_vel = (tool_pos - tool_prev) / sub_dt
 
-                ball_lin = ball_lin + jnp.array([0.0, 0.0, -9.81]) * sub_dt
+                ball_lin = ball_lin + gravity * sub_dt
                 dl, da = contact.sphere_box_contact(
                     ball_pos, ball_lin, ball_ang, pad_pos, pad_quat, pad_vel,
-                    half, self.ball_params, sub_dt, stiffness_scale=c.gel_compliance,
+                    half, pad_params, sub_dt, stiffness_scale=c.gel_compliance,
                 )
                 ball_lin, ball_ang = ball_lin + dl, ball_ang + da
                 dl, da = contact.sphere_plane_contact(
                     ball_pos, ball_lin, ball_ang, (0.0, 0.0, 1.0), c.plate_top_z,
-                    self.ball_params, sub_dt,
+                    plate_params, sub_dt,
                 )
                 ball_lin, ball_ang = ball_lin + dl, ball_ang + da
                 ball_pos = ball_pos + ball_lin * sub_dt
                 wq = jnp.concatenate([jnp.zeros_like(ball_ang[..., :1]), ball_ang], -1)
                 ball_quat = maths.quat_normalize(ball_quat + 0.5 * sub_dt * maths.quat_mul(wq, ball_quat))
+
+        return arm, ball_pos, ball_quat, ball_lin, ball_ang, actions, prev_actions
+
+    def step_physics_only(self, state: BallRollingState, action: jax.Array):
+        """Physics + dones without the tactile frame — the benchmark harness's
+        physics-ms split (reference run_ball_rolling_experiment.py:217-233
+        times sim.step and sensor.update separately; our fused step can't, so
+        the harness times this variant and attributes ``full - physics`` to
+        the tactile stage). Episode bookkeeping (rewards/reset/obs) is
+        intentionally omitted — it is timed as part of BOTH variants' residue
+        and cancels in the subtraction.
+        """
+        key, k_act, _ = jax.random.split(state.key, 3)
+        arm, ball_pos, ball_quat, ball_lin, ball_ang, actions, prev_actions = self._physics_step(
+            state, action, k_act
+        )
+        state = dataclasses.replace(
+            state, arm=arm, ball_pos=ball_pos, ball_quat=ball_quat, ball_lin=ball_lin,
+            ball_ang=ball_ang, actions=actions, prev_actions=prev_actions,
+            episode_length=state.episode_length + 1, key=key,
+        )
+        return state
+
+    def step(self, state: BallRollingState, action: jax.Array):
+        c = self.cfg
+        n = c.num_envs
+        key, k_act, k_obs = jax.random.split(state.key, 3)
+
+        arm, ball_pos, ball_quat, ball_lin, ball_ang, actions, prev_actions = self._physics_step(
+            state, action, k_act
+        )
 
         # ---------------- tactile frame
         tool_pos, tool_quat = self._tool_pose(arm.q)
@@ -355,7 +462,7 @@ class BallRollingEnv(DirectRLEnv):
             arm=arm, ball_pos=ball_pos, ball_quat=ball_quat, ball_lin=ball_lin, ball_ang=ball_ang,
             sensor=sensor_state, goal_pos=state.goal_pos, actions=actions, prev_actions=prev_actions,
             episode_length=state.episode_length + 1, total_episode_rew=state.total_episode_rew,
-            curriculum=state.curriculum, key=key,
+            curriculum=state.curriculum, key=key, dr=state.dr,
         )
 
         # ---------------- dones (reference _get_dones:668-706)

@@ -143,12 +143,12 @@ class BallRollingUipcEnv(BallRollingEnv):
         return UipcBallRollingState(base=base, gel=gel), obs
 
     # ------------------------------------------------------------------- step
-    def step(self, state: UipcBallRollingState, action: jax.Array):
+    def _physics_step(self, state: UipcBallRollingState, action: jax.Array, k_act: jax.Array):
+        """IK + servo + two-way ball/gel coupling + FEM gel solve."""
         c = self.cfg
         n = c.num_envs
         base = state.base
         gel_state = state.gel
-        key, k_act, k_obs, k_flow = jax.random.split(base.key, 4)
 
         prev_actions = base.actions
         actions = jnp.clip(jnp.nan_to_num(action), -1.0, 1.0)
@@ -233,6 +233,33 @@ class BallRollingUipcEnv(BallRollingEnv):
             planes=jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0, c.plate_top_z]), (n, 1, 4)),
         )
         gel_state = self.gel.step(gel_state, scene, aim)
+        return (
+            arm, ball_pos, ball_quat, ball_lin, ball_ang, gel_state,
+            actions, prev_actions, tool_pos, tool_quat,
+        )
+
+    def step_physics_only(self, state: UipcBallRollingState, action: jax.Array):
+        """Physics (incl. FEM gel solve) without the tactile stage — the
+        benchmark harness's physics-ms split; see BallRollingEnv.step_physics_only.
+        """
+        base = state.base
+        key, k_act, _, _ = jax.random.split(base.key, 4)
+        (arm, ball_pos, ball_quat, ball_lin, ball_ang, gel_state,
+         actions, prev_actions, _, _) = self._physics_step(state, action, k_act)
+        base = dataclasses.replace(
+            base, arm=arm, ball_pos=ball_pos, ball_quat=ball_quat, ball_lin=ball_lin,
+            ball_ang=ball_ang, actions=actions, prev_actions=prev_actions,
+            episode_length=base.episode_length + 1, key=key,
+        )
+        return dataclasses.replace(state, base=base, gel=gel_state)
+
+    def step(self, state: UipcBallRollingState, action: jax.Array):
+        c = self.cfg
+        n = c.num_envs
+        base = state.base
+        key, k_act, k_obs, k_flow = jax.random.split(base.key, 4)
+        (arm, ball_pos, ball_quat, ball_lin, ball_ang, gel_state,
+         actions, prev_actions, tool_pos, tool_quat) = self._physics_step(state, action, k_act)
 
         # ---------------- tactile from the deformed FEM surface
         cam_pos, cam_quat = self._camera_pose(tool_pos, tool_quat)
@@ -255,7 +282,7 @@ class BallRollingUipcEnv(BallRollingEnv):
             arm=arm, ball_pos=ball_pos, ball_quat=ball_quat, ball_lin=ball_lin, ball_ang=ball_ang,
             sensor=sensor_state, goal_pos=base.goal_pos, actions=actions, prev_actions=prev_actions,
             episode_length=base.episode_length + 1, total_episode_rew=base.total_episode_rew,
-            curriculum=base.curriculum, key=key,
+            curriculum=base.curriculum, key=key, dr=base.dr,
         )
 
         # dones / rewards (same logic as rigid variant)

@@ -24,19 +24,32 @@ from ...core import maths
 
 @dataclasses.dataclass(frozen=True)
 class SphereParams:
+    """Sphere contact parameters.
+
+    Fields may be python scalars (shared across envs) or (N,)-shaped arrays
+    (per-env, e.g. domain-randomized — reference EventCfg,
+    ball_rolling_taxim_fots.py:84-165). All contact math broadcasts either
+    form against (N, ...) state.
+    """
+
     radius: float
-    mass: float
-    restitution: float = 0.0
-    friction: float = 0.8
+    mass: float | jax.Array
+    restitution: float | jax.Array = 0.0
+    friction: float | jax.Array = 0.8
 
     @property
-    def inv_mass(self) -> float:
+    def inv_mass(self):
         return 1.0 / self.mass
 
     @property
-    def inv_inertia(self) -> float:
+    def inv_inertia(self):
         # solid sphere: I = 2/5 m r^2
         return 1.0 / (0.4 * self.mass * self.radius**2)
+
+
+def _col(x) -> jax.Array:
+    """Scalar or (N,) parameter -> broadcastable against (..., 3) vectors."""
+    return jnp.asarray(x, jnp.float32)[..., None]
 
 
 def _resolve_contact(
@@ -80,8 +93,8 @@ def _resolve_contact(
     jt = jnp.where(active, jt, 0.0)
 
     imp = jn[..., None] * normal - jt[..., None] * t_dir
-    d_lin = imp * inv_m
-    d_ang = jnp.cross(r_vec, imp) * inv_i
+    d_lin = imp * _col(inv_m)
+    d_ang = jnp.cross(r_vec, imp) * _col(inv_i)
     return d_lin, d_ang
 
 

@@ -149,9 +149,9 @@ class GelSightSensor:
             grad_mag, grad_dir = taxim_optical.generate_normals(self.calib, -deformed_px)
             raw = taxim_optical.shade(self.calib, grad_mag, grad_dir)
             if self.cfg.optical_sim_cfg.with_shadow:
-                raw = jax.vmap(
-                    lambda im, dg, cm, gd: taxim_optical._shadow_pass(self.calib, im, dg, cm, gd)
-                )(raw, deformed_px, contact_mask, grad_dir)
+                raw = taxim_optical._shadow_pass_compact(
+                    self.calib, raw, deformed_px, contact_mask, grad_dir
+                )
                 raw = taxim_optical.gaussian_blur(raw, self.calib.sim_params.shadow_blur_sigma((th, tw)))
                 img = raw + self.calib.background
                 img = taxim_optical.gaussian_blur(img, self.calib.sim_params.deform_final_sigma((th, tw)))

@@ -13,30 +13,48 @@ import jax.numpy as jnp
 
 from tacex_tpu import envs
 
-STEPS = 5
+# Reference parity: 100 random steps x {1, 32} envs per registered id
+# (reference test/utils/env_test_utils.py:159-276). The rollout is a single
+# lax.scan so the sweep compiles once per (env_id, num_envs).
+STEPS = 100
 
 
 @pytest.mark.parametrize("env_id", envs.registered_envs())
-@pytest.mark.parametrize("num_envs", [1, 4])
+@pytest.mark.parametrize("num_envs", [1, 32])
 def test_random_actions_no_nans(env_id, num_envs):
     env = envs.make(env_id, num_envs=num_envs)
     key = jax.random.PRNGKey(0)
     state = env.init_state(key)
     state, obs = env.reset_all(state)
-    step = jax.jit(env.step)
 
     for k in obs:
         assert bool(jnp.isfinite(obs[k]).all()), f"{k} has non-finite values at reset"
 
-    akey = jax.random.PRNGKey(1)
-    for i in range(STEPS):
-        akey, sub = jax.random.split(akey)
-        action = jax.random.uniform(sub, (num_envs, env.cfg.action_space), minval=-1.0, maxval=1.0)
-        state, obs, reward, term, trunc, info = step(state, action)
-        for k, v in obs.items():
-            assert bool(jnp.isfinite(v).all()), f"step {i}: obs[{k}] non-finite"
-        assert bool(jnp.isfinite(reward).all()), f"step {i}: reward non-finite"
-        assert term.shape == (num_envs,) and trunc.shape == (num_envs,)
+    # Truncation-only families (Factory) need the full horizon to see a done.
+    steps = min(max(STEPS, int(env.cfg.max_episode_length)), 200)
+    actions = jax.random.uniform(
+        jax.random.PRNGKey(1), (steps, num_envs, env.cfg.action_space), minval=-1.0, maxval=1.0
+    )
+    rollout = jax.jit(env.rollout_fn(steps))
+    final_state, (obs_seq, rew_seq, term_seq, trunc_seq) = rollout(state, actions)
+
+    for k, v in obs_seq.items():
+        assert bool(jnp.isfinite(v).all()), f"obs[{k}] non-finite during rollout"
+    assert bool(jnp.isfinite(rew_seq).all()), "reward non-finite during rollout"
+    assert term_seq.shape == (steps, num_envs) and trunc_seq.shape == (steps, num_envs)
+    # 100 random steps must hit at least one termination (and hence an
+    # in-rollout masked reset) — random actions wander out of bounds /
+    # too-far-from-object in every registered task family.
+    assert bool((term_seq | trunc_seq).any()), f"no termination in {steps} random steps"
+    # the reset actually re-zeroed episode bookkeeping for the done envs
+    n_done_final = int((term_seq[-1] | trunc_seq[-1]).sum())
+    if n_done_final:
+        assert int((final_state_episode_length(final_state) == 0).sum()) >= n_done_final
+
+
+def final_state_episode_length(state):
+    base = getattr(state, "base", state)
+    return base.episode_length
 
 
 class TestBallRollingBehavior:
@@ -107,3 +125,37 @@ class TestBallRollingBehavior:
         state, _ = env.reset_all(state)
         goals = np.asarray(state.goal_pos)
         assert np.std(goals[:, 0]) > 0.01 or np.std(goals[:, 1]) > 0.01
+
+
+class TestDomainRandomization:
+    """EventCfg-style per-env physics randomization (reference
+    ball_rolling_taxim_fots.py:84-165)."""
+
+    def test_dr_fields_vary_across_envs(self):
+        env = envs.make("TacEx-Ball-Rolling-Taxim-Fots-v0", num_envs=16)
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, _ = env.reset_all(state)
+        dr = state.dr
+        for name in ("ball_friction", "ball_mass", "plate_friction", "pad_friction", "gravity_z"):
+            v = np.asarray(getattr(dr, name))
+            assert v.std() > 1e-4, f"{name} not randomized: {v[:4]}"
+        assert np.all(np.asarray(dr.ball_mass) > 0)
+
+    def test_dr_disabled_gives_defaults(self):
+        env = envs.make("TacEx-Ball-Rolling-Taxim-Fots-v0", num_envs=8)
+        env.cfg.events_cfg["enabled"] = False
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, _ = env.reset_all(state)
+        np.testing.assert_allclose(np.asarray(state.dr.ball_friction), env.cfg.ball_friction)
+        np.testing.assert_allclose(np.asarray(state.dr.gravity_z), -9.81)
+
+    def test_dr_resampled_only_for_reset_envs(self):
+        env = envs.make("TacEx-Ball-Rolling-Taxim-Fots-v0", num_envs=8)
+        state = env.init_state(jax.random.PRNGKey(0))
+        state, _ = env.reset_all(state)
+        before = np.asarray(state.dr.ball_friction)
+        mask = jnp.zeros((8,), bool).at[3].set(True)
+        state2 = env._reset_where(state, mask)
+        after = np.asarray(state2.dr.ball_friction)
+        assert after[3] != before[3]
+        np.testing.assert_array_equal(np.delete(after, 3), np.delete(before, 3))

@@ -178,3 +178,41 @@ class TestProperties:
         a = np.asarray(tx.render(calib, hm, with_shadow=False))
         b = np.asarray(tx.render(calib, hm, with_shadow=False, interp="bilinear"))
         assert np.abs(a - b).mean() < 0.02
+
+
+class TestShadowCompact:
+    """The compacted shadow pass must reproduce the dense oracle exactly."""
+
+    def test_compact_equals_dense(self, calib):
+        hm = jnp.asarray(_hm(batch=2, press=1.2))
+        deformed, contact_mask = tx.optical.compute_gel_deformation(calib, hm)
+        deformed_px = deformed / calib.sensor_params.pixmm
+        grad_mag, grad_dir = tx.optical.generate_normals(calib, -deformed_px)
+        raw = tx.optical.shade(calib, grad_mag, grad_dir)
+
+        dense = jax.vmap(
+            lambda im, dg, cm, gd: tx.optical._shadow_pass_dense(calib, im, dg, cm, gd)
+        )(raw, deformed_px, contact_mask, grad_dir)
+        compact = tx.optical._shadow_pass_compact(
+            calib, raw, deformed_px, contact_mask, grad_dir, capacity=16384
+        )
+        np.testing.assert_allclose(np.asarray(compact), np.asarray(dense), atol=1e-6)
+
+    def test_capacity_overflow_degrades_gracefully(self, calib):
+        # With a tiny capacity only some boundary pixels cast shadows; the
+        # result must stay finite and >= the dense result is not guaranteed,
+        # but missing sources can only *remove* darkening (values are
+        # min-composited), so compact >= dense pointwise.
+        hm = jnp.asarray(_hm(batch=1, press=1.2))
+        deformed, contact_mask = tx.optical.compute_gel_deformation(calib, hm)
+        deformed_px = deformed / calib.sensor_params.pixmm
+        grad_mag, grad_dir = tx.optical.generate_normals(calib, -deformed_px)
+        raw = tx.optical.shade(calib, grad_mag, grad_dir)
+        dense = jax.vmap(
+            lambda im, dg, cm, gd: tx.optical._shadow_pass_dense(calib, im, dg, cm, gd)
+        )(raw, deformed_px, contact_mask, grad_dir)
+        small = tx.optical._shadow_pass_compact(
+            calib, raw, deformed_px, contact_mask, grad_dir, capacity=256
+        )
+        assert np.all(np.asarray(small) >= np.asarray(dense) - 1e-6)
+        assert np.isfinite(np.asarray(small)).all()
