@@ -63,8 +63,17 @@ def _resolve_contact(
     dt: float,
     baumgarte: float = 0.2,
     slop: float = 1e-5,
+    lock_rotation: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (d_lin_vel, d_ang_vel) impulse response for one contact set."""
+    """Returns (d_lin_vel, d_ang_vel) impulse response for one contact set.
+
+    ``lock_rotation=True`` treats the friction as purely translational
+    (k_t = 1/m, no angular response): the model for an opposing-pinch grasp,
+    where the second finger's contact plus gel torsional friction lock the
+    sphere's spin — resolving each pad independently with free rotation lets
+    the ball creep through the pinch (the opposing angular terms cancel but
+    each contact under-applies its linear share).
+    """
     active = depth > 0.0
 
     # velocity of sphere material point at contact
@@ -87,14 +96,15 @@ def _resolve_contact(
     vt_norm = jnp.linalg.norm(vt, axis=-1)
     t_dir = vt / jnp.maximum(vt_norm, 1e-9)[..., None]
     # effective mass along tangent includes rotation: 1/m + r^2/I (r ⟂ t)
-    k_t = inv_m + (params.radius**2) * inv_i
+    k_t = inv_m if lock_rotation else inv_m + (params.radius**2) * inv_i
     jt_needed = vt_norm / k_t
     jt = jnp.minimum(jt_needed, params.friction * jn)
     jt = jnp.where(active, jt, 0.0)
 
     imp = jn[..., None] * normal - jt[..., None] * t_dir
     d_lin = imp * _col(inv_m)
-    d_ang = jnp.cross(r_vec, imp) * _col(inv_i)
+    ang_imp = jn[..., None] * normal - (0.0 if lock_rotation else 1.0) * jt[..., None] * t_dir
+    d_ang = jnp.cross(r_vec, ang_imp) * _col(inv_i)
     return d_lin, d_ang
 
 
@@ -137,11 +147,13 @@ def sphere_box_contact(
     params: SphereParams,
     dt: float,
     stiffness_scale: float = 1.0,
+    lock_rotation: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Sphere vs kinematic oriented box (e.g. the gelpad pressing a ball).
 
     ``stiffness_scale`` < 1 softens the positional correction, approximating
     gel compliance (the reference's "compliant rigid" gelpad contact).
+    ``lock_rotation``: see ``_resolve_contact`` (opposing-pinch grasps).
     """
     cp = closest_point_on_box(pos, box_pos, box_quat, half_extents)
     delta = pos - cp
@@ -163,7 +175,8 @@ def sphere_box_contact(
     )
     r_vec = -params.radius * normal
     return _resolve_contact(
-        lin_vel, ang_vel, normal, depth, box_vel, r_vec, params, dt, baumgarte=0.2 * stiffness_scale
+        lin_vel, ang_vel, normal, depth, box_vel, r_vec, params, dt,
+        baumgarte=0.2 * stiffness_scale, lock_rotation=lock_rotation,
     )
 
 

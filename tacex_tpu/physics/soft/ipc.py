@@ -31,6 +31,7 @@ Solver knob names follow UipcSimCfg (reference uipc_sim.py:32-131):
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import numpy as np
 
@@ -96,6 +97,36 @@ def _point_triangle_distance(p, a, b, c):
     q = jnp.where(at_b[..., None], b, q)
     q = jnp.where(at_a[..., None], a, q)
     return jnp.sqrt(((p - q) ** 2).sum(-1) + 1e-18)
+
+
+def _segment_crosses_triangle(p0, p1, a, b, c, eps: float = 1e-4):
+    """True where the segment p0->p1 pierces triangle (a,b,c).
+
+    Möller–Trumbore over broadcastable leading dims. The poor man's CCD for
+    UNSIGNED point-triangle barriers: a log-barrier on |distance| cannot see
+    a vertex jumping to the far side of a triangle within one line-search
+    trial, so the feasibility check must reject crossing steps explicitly
+    (signed SDFs catch this for analytic colliders; meshes need this test).
+    """
+    d = p1 - p0
+    e1, e2 = b - a, c - a
+    h = jnp.cross(d, e2)
+    det = (e1 * h).sum(-1)
+    safe = jnp.abs(det) > 1e-14
+    f = 1.0 / jnp.where(safe, det, 1.0)
+    s = p0 - a
+    u = f * (s * h).sum(-1)
+    q = jnp.cross(s, e1)
+    v = f * (d * q).sum(-1)
+    t = f * (e2 * q).sum(-1)
+    return (
+        safe
+        & (u >= -eps)
+        & (v >= -eps)
+        & (u + v <= 1.0 + eps)
+        & (t > -eps)
+        & (t < 1.0 + eps)
+    )
 
 
 @configclass
@@ -231,11 +262,33 @@ class SoftBodyModel:
 
     # ---------------------------------------------------------------- energy
     def _barrier(self, d: jax.Array) -> jax.Array:
-        """IPC log-barrier on signed distances, NaN-safe for autodiff."""
+        """IPC log-barrier on signed distances, NaN-safe for autodiff.
+
+        Below ``d0 = 0.01 d_hat`` the barrier is extended LINEARLY (C^1 —
+        value and slope match at d0), so vertices that start a step already
+        penetrated — a kinematic collider moved into them between steps,
+        something true IPC never faces because its CCD sees the collider
+        motion — still feel a strong, finite outward gradient instead of the
+        zero gradient a clamped log would give them.
+        """
         dh = self.cfg.d_hat
-        d_safe = jnp.maximum(d, 1e-9)
+        d0 = 0.1 * dh
+        d_c = jnp.clip(d, d0, dh)
         active = d < dh
-        b = -self.cfg.kappa * (d_safe - dh) ** 2 * jnp.log(jnp.where(active, d_safe / dh, 1.0))
+        b_core = -self.cfg.kappa * (d_c - dh) ** 2 * jnp.log(d_c / dh)
+        # C^2 quadratic extension below d0: value/slope/curvature all match,
+        # so penetrated vertices see a depth-growing outward force AND a
+        # bounded positive curvature (a linear extension has zero curvature,
+        # which blows the Newton direction up to meter-scale steps the line
+        # search can never shrink back — the solve freezes at alpha=0).
+        lg = math.log(d0 / dh)
+        b_d0 = -self.cfg.kappa * (d0 - dh) ** 2 * lg
+        db_d0 = -self.cfg.kappa * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
+        d2b_d0 = -self.cfg.kappa * (
+            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
+        )
+        dd = d - d0
+        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
         return jnp.where(active, b, 0.0).sum()
 
     def _energy(self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None):
@@ -259,13 +312,18 @@ class SoftBodyModel:
             lam_n, n_dir = friction_basis  # (Vs,), (Vs, 3) — lagged from last step
             du = xs - x_prev[self.surface_verts]
             du_t = du - jnp.sum(du * n_dir, axis=-1, keepdims=True) * n_dir
-            # safe norm: grad of sqrt at 0 is NaN; the +tiny keeps autodiff
-            # finite at the (common) zero-slip point
+            # smooth |u_t| mollifier (quadratic near 0, linear beyond eps),
+            # written in s = |du_t|^2 with a clamped sqrt argument so both
+            # where-branches have finite 1st AND 2nd derivatives at du_t = 0
+            # (sqrt(s + tiny) is NaN under double differentiation there —
+            # the CG Hessian-vector products hit it on resting contacts).
             ut2 = jnp.sum(du_t**2, axis=-1)
-            ut = jnp.sqrt(ut2 + 1e-16)
             eps = c.eps_velocity * c.dt
-            # smooth |u_t| mollifier (quadratic near 0, linear beyond eps)
-            f0 = jnp.where(ut < eps, ut2 / (2 * eps) + eps / 2, ut)
+            f0 = jnp.where(
+                ut2 < eps * eps,
+                ut2 / (2 * eps) + eps / 2,
+                jnp.sqrt(jnp.maximum(ut2, eps * eps)),
+            )
             friction = c.friction_mu * jnp.sum(lam_n * f0)
         return inertia + elastic + contact + attach + friction
 
@@ -300,12 +358,28 @@ class SoftBodyModel:
             xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand
         )
 
-        def feasible(xx):
-            ok = sdf_fn(xx[self.surface_verts]).min() > 0.0
+        # Feasibility floor: strict penetration-free (d > 0) when the step
+        # STARTS feasible; when a kinematic collider moved into the gel
+        # between steps (start already penetrated), require no-worsening
+        # instead — otherwise every line-search trial is rejected and the
+        # solve freezes at the pre-contact state (zero contact force).
+        d_floor = jnp.minimum(sdf_fn(x[self.surface_verts]).min(), 0.0)
+
+        def feasible(xx, x_from):
+            ok = sdf_fn(xx[self.surface_verts]).min() > d_floor
             if self_cand is not None:
                 cand, valid = self_cand
                 d_vt = self._pair_distances(xx, cand)
                 ok = ok & (jnp.where(valid, d_vt, 1.0).min() > 1e-6)
+                # crossing check: unsigned vertex-triangle distances cannot
+                # see a vertex that jumped THROUGH a triangle this trial
+                tri = xx[self.surface_tris[cand]]  # (Vs, K, 3, 3)
+                crossed = _segment_crosses_triangle(
+                    x_from[self.surface_verts][:, None, :],
+                    xx[self.surface_verts][:, None, :],
+                    tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
+                )
+                ok = ok & ~(crossed & valid).any()
             return ok
 
         def newton_iter(_, carry):
@@ -346,7 +420,7 @@ class SoftBodyModel:
             def ls_body(_, ls):
                 alpha, accepted = ls
                 x_try = x_k + alpha * p
-                ok = (energy(x_try) < e0) & feasible(x_try)
+                ok = (energy(x_try) < e0) & feasible(x_try, x_k)
                 new_alpha = jnp.where(ok | accepted, alpha, alpha * 0.5)
                 return (new_alpha, ok | accepted)
 

@@ -119,3 +119,46 @@ class TestIntegrator:
         st = bodies.integrate(st, 0.1, inv_mass=inv_mass)
         assert float(st.lin_vel[0, 0, 2]) == 0.0
         assert float(st.lin_vel[0, 1, 2]) < 0.0
+
+
+class TestLockRotation:
+    """Torsional-lock mode for opposing-pinch grasps (contact.py)."""
+
+    def test_pinched_ball_follows_moving_pads(self):
+        """Two opposing pads squeezing a ball and moving up must carry it:
+        with free rotation each independent contact under-applies friction
+        and the ball creeps out; lock_rotation models the pinch."""
+        import jax.numpy as jnp
+        from tacex_tpu.physics.rigid import contact
+
+        params = contact.SphereParams(radius=0.01, mass=0.02, friction=0.9)
+        half = jnp.array([0.01, 0.004, 0.012])
+        dt = 1 / 120
+        quat = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+        pad_vel = jnp.array([[0.0, 0.0, 0.05]])  # pads moving up
+
+        def run(lock):
+            pos = jnp.zeros((1, 3))
+            lin = jnp.zeros((1, 3))
+            ang = jnp.zeros((1, 3))
+            pad_y = 0.012  # 2 mm squeeze
+            for k in range(60):
+                z = 0.05 * dt * k
+                lin = lin + jnp.array([0.0, 0.0, -9.81]) * dt
+                dls = []
+                for s in (1.0, -1.0):
+                    c = jnp.array([[0.0, s * pad_y, z]])
+                    dl, da = contact.sphere_box_contact(
+                        pos, lin, ang, c, quat, pad_vel, half, params, dt,
+                        lock_rotation=lock,
+                    )
+                    dls.append((dl, da))
+                lin = lin + dls[0][0] + dls[1][0]
+                ang = ang + dls[0][1] + dls[1][1]
+                pos = pos + lin * dt
+            return float(pos[0, 2])
+
+        z_locked = run(True)
+        z_free = run(False)
+        assert z_locked > 0.015, f"locked pinch failed to carry the ball: {z_locked}"
+        assert z_locked > z_free + 0.005, (z_locked, z_free)
