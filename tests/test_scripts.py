@@ -51,6 +51,44 @@ class TestCLIs:
         assert '"frames_per_sec"' in r.stdout
         assert '"in_contact_frames"' in r.stdout
 
+    def test_benchmark_harness_split_fields(self):
+        r = _run(
+            [
+                "scripts/benchmarking/run_ball_rolling_experiment.py",
+                "--env", "uipc", "--num_envs", "2", "--steps", "4",
+            ],
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert '"avg_physics_ms_per_step"' in r.stdout
+        assert '"avg_tactile_ms_per_in_contact_step"' in r.stdout
+
+    def test_benchmark_non_rl(self):
+        r = _run(
+            [
+                "scripts/benchmarking/benchmark_non_rl_example.py",
+                "--num_envs", "4", "--num_frames", "5",
+            ],
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert '"per_frame_ms"' in r.stdout
+
+    def test_follow_goal_demo(self):
+        r = _run(["scripts/demos/follow_goal.py", "--steps", "40"], timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "tracking error" in r.stdout
+
+    def test_pick_up_rigid_demo(self):
+        r = _run(["scripts/demos/pick_up/pick_up_rigid.py", "--steps_per_phase", "120"], timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "ball lifted" in r.stdout
+
+    def test_mani_skill_marker_demo(self):
+        r = _run(["scripts/demos/check_mani_skill_marker.py", "--steps", "4"], timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "marker displacement" in r.stdout
+
     def test_bench_smoke(self):
         """bench.py must print exactly one JSON line (driver contract)."""
         import json
