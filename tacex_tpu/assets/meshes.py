@@ -315,3 +315,15 @@ def shape_mesh(name: str) -> np.ndarray:
     if name not in lib:
         raise KeyError(f"unknown mesh shape {name!r}; have {MESH_SHAPE_NAMES}")
     return lib[name]().astype(np.float32)
+
+
+def weld_soup(tris: np.ndarray, tol: float = 1e-6) -> tuple[np.ndarray, np.ndarray]:
+    """(T, 3, 3) triangle soup -> indexed mesh (points (V, 3), faces (T, 3)).
+
+    Coincident vertices (within ``tol``) are welded — the form the affine-body
+    solver needs (shared vertices so surface moments and contact candidates
+    see one closed surface, not 3T loose corners)."""
+    flat = np.asarray(tris, np.float64).reshape(-1, 3)
+    key = np.round(flat / tol).astype(np.int64)
+    _, idx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    return flat[idx].astype(np.float32), inv.reshape(-1, 3).astype(np.int32)

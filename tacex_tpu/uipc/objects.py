@@ -45,6 +45,18 @@ class AffineBodyConstitutionCfg:
 
 
 @configclass
+class NeoHookeanShellCfg:
+    """Shell/cloth constitution (libuipc NeoHookeanShell +
+    DiscreteShellBending; reference 11_bunny_cloth.py:72-79: 10 kPa,
+    nu=0.499, thickness 1 mm, density via mass_density, bending E=10)."""
+
+    youngs_modulus: float = 0.01  # MPa (sample: 10 kPa)
+    poisson_rate: float = 0.3
+    thickness: float = 0.001  # m
+    bending_E: float = 10.0  # DiscreteShellBending stiffness
+
+
+@configclass
 class TetMeshCfg:
     """Mesh generation config (reference mesh_gen.py:18-106 uses fTetWild
     quality knobs; the structured generator replaces them with a resolution)."""
@@ -83,9 +95,27 @@ class UipcObject:
         mesh: TetMesh | None = None,
         points: np.ndarray | None = None,
         tets: np.ndarray | None = None,
+        triangles: np.ndarray | None = None,
     ):
         self.cfg = cfg
         self.sim = uipc_sim
+        # Affine bodies only need a closed surface mesh (libuipc walking-cube
+        # reads cube.obj trimesh, 5_walking_cube:86-88): accept (points,
+        # triangles) without tets for the ABD constitution.
+        if (
+            mesh is None
+            and tets is None
+            and points is not None
+            and triangles is not None
+            and isinstance(cfg.constitution, (AffineBodyConstitutionCfg, NeoHookeanShellCfg))
+        ):
+            tris = np.asarray(triangles, np.int32)
+            mesh = TetMesh(
+                points=np.asarray(points, np.float32),
+                tets=np.zeros((0, 4), np.int32),
+                surface_tris=tris,
+                surface_verts=np.unique(tris).astype(np.int32),
+            )
         if mesh is None:
             if points is not None and tets is not None:
                 from ..physics.soft.mesh import extract_surface
@@ -107,7 +137,37 @@ class UipcObject:
         self._attachment_verts: np.ndarray | None = None
         self._aim_provider = None
         self._union_range: tuple[int, int] | None = None
+        # ABD bookkeeping (filled by UipcSim._setup_abd)
+        self._abd_index: int | None = None
+        self._abd_aim_provider = None
+        self._abd_aim_strength: float = 0.0
+        self._abd_motor: tuple[np.ndarray, float] | None = None
         uipc_sim.register_object(self)
+
+    @property
+    def is_affine_body(self) -> bool:
+        return isinstance(self.cfg.constitution, AffineBodyConstitutionCfg)
+
+    @property
+    def is_shell(self) -> bool:
+        return isinstance(self.cfg.constitution, NeoHookeanShellCfg)
+
+    # ------------------------------------------------- ABD constraint surface
+    def set_transform_target(self, provider=None, strength: float = 100.0) -> None:
+        """SoftTransformConstraint (reference stc.apply_to(mesh, strength),
+        5_walking_cube:104): pull this affine body's 12-DOF state toward a
+        target. ``provider() -> (N, 12)`` or None to hold the initial pose."""
+        assert self.is_affine_body, "transform targets are for affine bodies"
+        self._abd_aim_provider = provider
+        self._abd_aim_strength = float(strength)
+
+    def set_rotating_motor(self, axis, rot_vel: float, strength: float = 100.0) -> None:
+        """RotatingMotor (reference rm.apply_to(mesh, 100, motor_rot_vel=pi),
+        5_walking_cube:98): the aim transform is advanced by ``rot_vel * dt``
+        about ``axis`` every step."""
+        assert self.is_affine_body, "motors are for affine bodies"
+        self._abd_motor = (np.asarray(axis, np.float32), float(rot_vel))
+        self._abd_aim_strength = float(strength)
 
     # ------------------------------------------------------------ finalization
     def set_attachments(self, vertex_ids: np.ndarray, aim_provider=None, strength_ratio: float = 100.0):
@@ -115,12 +175,30 @@ class UipcObject:
         self._aim_provider = aim_provider
         self._attachment_strength = strength_ratio
 
-    def _finalize(self, sim) -> None:
-        if not isinstance(self.cfg.constitution, StableNeoHookeanCfg):
-            raise NotImplementedError(
-                "kinematic/affine bodies are driven analytically as SDF "
-                "colliders; only FEM soft bodies carry solver state"
+    def _finalize(self, sim, static_tris=None) -> None:
+        if self.is_shell:
+            from ..physics.soft.shell import ShellModel
+
+            con = self.cfg.constitution
+            self.model = ShellModel(
+                self.mesh.points,
+                self.mesh.surface_tris,
+                youngs_modulus=con.youngs_modulus * 1e6,  # MPa -> Pa
+                poisson_ratio=con.poisson_rate,
+                thickness=con.thickness,
+                mass_density=self.cfg.mass_density,
+                bending_stiffness=con.bending_E,
+                cfg=sim.cfg.to_shell_cfg(),
+                static_tris=static_tris,
+                attachment_verts=self._attachment_verts,
+                attachment_strength_ratio=getattr(self, "_attachment_strength", 100.0),
             )
+            self.state = SoftBodyState.init(sim.cfg.num_envs, self.mesh.points)
+            self._step = jax.jit(self.model.step)
+            return
+        assert isinstance(self.cfg.constitution, StableNeoHookeanCfg), (
+            "affine bodies are finalized by UipcSim._setup_abd"
+        )
         con = self.cfg.constitution
         self.model = SoftBodyModel(
             self.mesh,
@@ -153,6 +231,8 @@ class UipcObject:
 
     # ------------------------------------------------------------------ views
     def surface_positions(self) -> jax.Array:
+        if self.is_affine_body:
+            return self.sim.abd_vertex_positions(self)
         if self._union_range is not None:
             return self.state.x[:, jnp.asarray(self.mesh.surface_verts)]
         return self.model.surface_positions(self.state)
@@ -160,15 +240,21 @@ class UipcObject:
     @property
     def nodal_pos_w(self) -> jax.Array:
         """(N, V, 3) — reference UipcObjectDeformableData.nodal_pos_w."""
+        if self.is_affine_body:
+            return self.sim.abd_vertex_positions(self)
         return self.state.x
 
     @property
     def root_pos_w(self) -> jax.Array:
-        """(N, 3) mean of surface verts (uipc_object_deformable_data.py)."""
+        """(N, 3) mean of surface verts (uipc_object_deformable_data.py);
+        for affine bodies = surface mean like UipcObjectRigidData."""
         return self.surface_positions().mean(axis=1)
 
     def write_vertex_positions_to_sim(self, positions: jax.Array, env_mask: jax.Array | None = None):
         """Reset mechanism (reference forked write_vertex_pos_to_sim)."""
+        if self.is_affine_body:
+            self.sim.reset_abd_object(self, env_mask)
+            return
         if env_mask is None:
             x = jnp.broadcast_to(positions, self.state.x.shape)
             new = SoftBodyState(x=x, v=jnp.zeros_like(x))

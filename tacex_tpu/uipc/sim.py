@@ -69,6 +69,8 @@ class UipcSimCfg:
         # self contact (libuipc resolves these through its BVH; here a
         # fixed-capacity K-nearest candidate set — 0 disables)
         self_contact_k: int = 0
+        # affine-body-vs-affine-body candidates (same scheme, ABD system)
+        abd_contact_k: int = 8
 
     newton: "UipcSimCfg.Newton" = None
     linear_system: "UipcSimCfg.LinearSystem" = None
@@ -88,6 +90,22 @@ class UipcSimCfg:
             self.line_search = UipcSimCfg.LineSearch()
         if self.contact is None:
             self.contact = UipcSimCfg.Contact()
+
+    def to_shell_cfg(self):
+        from ..physics.soft.shell import ShellSolverCfg
+
+        return ShellSolverCfg(
+            dt=self.dt,
+            gravity=tuple(self.gravity),
+            newton_max_iter=self.newton.max_iter,
+            velocity_tol=self.newton.velocity_tol,
+            cg_iters=self.linear_system.max_iter,
+            line_search_iters=self.line_search.max_iter,
+            d_hat=self.contact.d_hat,
+            kappa=self.contact.resistance,
+            friction_mu=(self.contact.default_friction_ratio if self.contact.friction else 0.0),
+            eps_velocity=self.contact.eps_velocity,
+        )
 
     def to_solver_cfg(self) -> IpcSolverCfg:
         return IpcSolverCfg(
@@ -120,6 +138,9 @@ class UipcSim:
         self._union_model = None
         self._union_state = None
         self._union_aim_objs: list[Any] = []
+        self._abd_model = None
+        self._abd_state = None
+        self._abd_objs: list[Any] = []
         self._frames: dict[int, list[SoftBodyState]] = {}
         self._frame_counter = 0
         self._timings: dict[str, float] = {}
@@ -140,32 +161,133 @@ class UipcSim:
         the vertex-triangle barrier resolves object-vs-object (FEM-FEM)
         contact — the libuipc behavior of a shared contact world. Otherwise
         each object solves independently (cheaper; round-1 behavior).
+
+        Affine bodies (AffineBodyConstitutionCfg) are gathered into ONE
+        batched AbdModel (12-DOF dense-Newton system, physics/soft/abd.py)
+        with body-body barrier contact — the AffineBodyDynamics subsystem of
+        libuipc. ABD bodies and FEM bodies currently interact only through
+        analytic scene SDFs, not through a shared contact world (the
+        reference's sample scenes are ABD-only or FEM-only, so this split
+        matches real usage).
         """
         self._union_model = None
         self._union_state = None
-        if self.cfg.contact.self_contact_k > 0 and len(self.objects) >= 2:
-            self._setup_union()
+        fem_objs = [
+            o for o in self.objects if not (o.is_affine_body or o.is_shell)
+        ]
+        abd_objs = [o for o in self.objects if o.is_affine_body]
+        shell_objs = [o for o in self.objects if o.is_shell]
+        if self.cfg.contact.self_contact_k > 0 and len(fem_objs) >= 2:
+            self._setup_union(fem_objs)
         else:
-            for obj in self.objects:
+            for obj in fem_objs:
                 obj._finalize(self)
+        if shell_objs:
+            # kinematic affine bodies act as STATIC trimesh colliders for
+            # shells (the bunny-cloth pattern: fixed ABD bunny + cloth)
+            static = [
+                np.asarray(o.mesh.points, np.float32)[np.asarray(o.mesh.surface_tris)]
+                for o in abd_objs
+                if o.cfg.constitution.kinematic
+            ]
+            static_tris = np.concatenate(static) if static else None
+            for obj in shell_objs:
+                obj._finalize(self, static_tris=static_tris)
+        if abd_objs:
+            self._setup_abd(abd_objs)
         if self.cfg.sanity_check:
             self._sanity_check()
         self._setup = True
 
-    def _setup_union(self) -> None:
-        from ..physics.soft.mesh import union_meshes
-        from .objects import StableNeoHookeanCfg
+    def _setup_abd(self, abd_objs) -> None:
+        from ..physics.soft.abd import AbdModel, AbdSolverCfg, AbdState
 
-        for obj in self.objects:
-            if not isinstance(obj.cfg.constitution, StableNeoHookeanCfg):
-                raise NotImplementedError(
-                    "union contact world currently supports FEM constitutions"
-                )
-        mesh, offsets = union_meshes([o.mesh for o in self.objects])
+        n = self.cfg.num_envs
+        pts, tris, dens, kappas = [], [], [], []
+        for i, obj in enumerate(abd_objs):
+            obj._abd_index = i
+            pts.append(np.asarray(obj.mesh.points, np.float64))
+            # remap global surface tri ids to local surface-vertex order is
+            # unnecessary: AbdModel takes per-body full point sets
+            tris.append(np.asarray(obj.mesh.surface_tris, np.int64))
+            dens.append(obj.cfg.mass_density)
+            kappas.append(obj.cfg.constitution.m_kappa * 1e6)  # MPa -> Pa
+        cfg = AbdSolverCfg(
+            dt=self.cfg.dt,
+            gravity=tuple(self.cfg.gravity),
+            newton_max_iter=self.cfg.newton.max_iter,
+            line_search_iters=self.cfg.line_search.max_iter,
+            velocity_tol=self.cfg.newton.velocity_tol,
+            d_hat=self.cfg.contact.d_hat,
+            kappa_contact=self.cfg.contact.resistance,
+            friction_mu=(
+                self.cfg.contact.default_friction_ratio if self.cfg.contact.friction else 0.0
+            ),
+            eps_velocity=self.cfg.contact.eps_velocity,
+            contact_k=(
+                self.cfg.contact.abd_contact_k
+                if (self.cfg.contact.enable and len(abd_objs) >= 2)
+                else 0
+            ),
+        )
+        self._abd_objs = abd_objs
+        self._abd_model = AbdModel(pts, tris, mass_density=dens, kappa_ortho=kappas, cfg=cfg)
+        self._abd_state = AbdState.identity(n, len(abd_objs))
+        self._abd_init_state = self._abd_state
+        # vertex slices into the model's concatenated point array
+        offs = np.cumsum([0] + [len(p) for p in pts])
+        for i, obj in enumerate(abd_objs):
+            obj._abd_vrange = (int(offs[i]), int(offs[i + 1]))
+        # constraint strengths: kinematic bodies are held at their initial
+        # pose (libuipc builtin.is_fixed); others per set_transform_target /
+        # set_rotating_motor
+        strengths = np.zeros(len(abd_objs), np.float32)
+        for i, obj in enumerate(abd_objs):
+            if obj.cfg.constitution.kinematic:
+                strengths[i] = 1e4
+            elif obj._abd_aim_strength > 0:
+                strengths[i] = obj._abd_aim_strength
+        self._abd_strength = jnp.broadcast_to(jnp.asarray(strengths), (n, len(abd_objs)))
+        self._abd_aim_q = self._abd_state.q
+        self._abd_step_fn = jax.jit(self._abd_model.step)
+
+    def abd_vertex_positions(self, obj) -> jax.Array:
+        """(N, V_obj, 3) world vertices of one affine body."""
+        lo, hi = obj._abd_vrange
+        return self._abd_model.all_vertices(self._abd_state)[:, lo:hi]
+
+    def abd_body_pose(self, obj) -> jax.Array:
+        """(N, 12) generalized pose [t | A-rows] of one affine body."""
+        return self._abd_state.q[:, obj._abd_index]
+
+    def reset_abd_object(self, obj, env_mask=None) -> None:
+        from ..physics.soft.abd import AbdState
+
+        i = obj._abd_index
+        st, init = self._abd_state, self._abd_init_state
+        if env_mask is None:
+            q = st.q.at[:, i].set(init.q[:, i])
+            qd = st.qd.at[:, i].set(0.0)
+            aim = self._abd_aim_q.at[:, i].set(init.q[:, i])
+        else:
+            m = env_mask[:, None]
+            q = st.q.at[:, i].set(jnp.where(m, init.q[:, i], st.q[:, i]))
+            qd = st.qd.at[:, i].set(jnp.where(m, 0.0, st.qd[:, i]))
+            aim = self._abd_aim_q.at[:, i].set(
+                jnp.where(m, init.q[:, i], self._abd_aim_q[:, i])
+            )
+        self._abd_state = AbdState(q=q, qd=qd)
+        self._abd_aim_q = aim
+
+    def _setup_union(self, fem_objs) -> None:
+        from ..physics.soft.mesh import union_meshes
+
+        objects = fem_objs
+        mesh, offsets = union_meshes([o.mesh for o in objects])
         youngs, poisson, density = [], [], []
         att_verts, att_ratio = [], []
         self._union_aim_objs = []
-        for i, obj in enumerate(self.objects):
+        for i, obj in enumerate(objects):
             con = obj.cfg.constitution
             nt = obj.mesh.tets.shape[0]
             youngs.append(np.full(nt, con.youngs_modulus * 1e6, np.float32))
@@ -196,7 +318,7 @@ class UipcSim:
         )
         self._union_state = SoftBodyState.init(self.cfg.num_envs, mesh.points)
         self._union_step_fn = jax.jit(self._union_model.step)
-        for i, obj in enumerate(self.objects):
+        for i, obj in enumerate(objects):
             obj._set_union_view(self, int(offsets[i]), int(offsets[i + 1]))
 
     def _sanity_check(self) -> None:
@@ -206,13 +328,31 @@ class UipcSim:
         problems: list[str] = []
         for i, obj in enumerate(self.objects):
             mesh = obj.mesh
+            if obj.is_shell:
+                # shells: degenerate rest triangles are rejected by the
+                # ShellModel constructor; only mass sanity applies here
+                if obj.model is not None and float(obj.model.masses.min()) <= 0:
+                    problems.append(f"object {i}: non-positive shell vertex mass")
+                continue
+            if obj.is_affine_body:
+                # ABD bodies: closed-surface + positive-volume check instead
+                from ..physics.soft.abd import _mesh_moments
+
+                vol, _, _ = _mesh_moments(
+                    np.asarray(mesh.points, np.float64),
+                    np.asarray(mesh.surface_tris, np.int64),
+                )
+                if vol <= 0:
+                    problems.append(
+                        f"object {i}: non-positive affine-body volume {vol:g} "
+                        "(surface mesh not closed/outward-oriented?)"
+                    )
+                continue
             vols = mesh.rest_volumes()
             if (vols <= 0).any():
                 problems.append(f"object {i}: {(vols <= 0).sum()} non-positive tet volumes")
-            import numpy as _np
-
             edge_min = float(
-                _np.linalg.norm(
+                np.linalg.norm(
                     mesh.points[mesh.tets[:, 1]] - mesh.points[mesh.tets[:, 0]], axis=-1
                 ).min()
             )
@@ -225,8 +365,6 @@ class UipcSim:
                 problems.append(f"object {i}: non-positive lumped vertex mass")
             av = obj.model.attachment_verts if obj.model is not None else None
             if av is not None and av.shape[0] > 0:
-                import numpy as np
-
                 ids = np.asarray(av)
                 if ids.min() < 0 or ids.max() >= mesh.num_vertices:
                     problems.append(f"object {i}: attachment vertex ids out of range")
@@ -264,22 +402,53 @@ class UipcSim:
                 obj._refresh_union_slice()
         else:
             for obj in self.objects:
-                obj._advance(scene)
-        jax.block_until_ready([o.state.x for o in self.objects])
+                if not obj.is_affine_body:
+                    obj._advance(scene)
+        if self._abd_model is not None:
+            self._advance_abd(scene)
+        jax.block_until_ready(
+            [o.state.x for o in self.objects if not o.is_affine_body]
+            + ([self._abd_state.q] if self._abd_model is not None else [])
+        )
         if self.cfg.diff_sim:  # reuse the flag to request per-step diagnostics
             self.check_health()
         self._timings["step"] = time.perf_counter() - t0
         self._frame_counter += 1
+
+    def _advance_abd(self, scene: RigidSdfScene) -> None:
+        from ..physics.soft.abd import rotate_target
+
+        # advance motor targets / query providers (the Animation-closure
+        # equivalent, reference uipc_attachments.py:364-385)
+        aim = self._abd_aim_q
+        for obj in self._abd_objs:
+            i = obj._abd_index
+            if obj._abd_motor is not None:
+                axis, vel = obj._abd_motor
+                aim = aim.at[:, i].set(
+                    jax.vmap(lambda q: rotate_target(q, jnp.asarray(axis), vel * self.cfg.dt))(
+                        aim[:, i]
+                    )
+                )
+            elif obj._abd_aim_provider is not None:
+                aim = aim.at[:, i].set(obj._abd_aim_provider())
+        self._abd_aim_q = aim
+        self._abd_state = self._abd_step_fn(
+            self._abd_state, scene, aim, self._abd_strength
+        )
 
     def check_health(self) -> None:
         """Failure detection: raise with the offending env indices if any
         soft-body state went non-finite (solver divergence). The reference
         has no equivalent — exceptions propagate from CUDA asserts
         (SURVEY §5 'Failure detection: None')."""
-        import numpy as np
-
         for i, obj in enumerate(self.objects):
-            finite = np.asarray(jax.numpy.isfinite(obj.state.x).all(axis=(1, 2)))
+            if obj.is_affine_body:
+                finite = np.asarray(
+                    jax.numpy.isfinite(self._abd_state.q).all(axis=(1, 2))
+                )
+            else:
+                finite = np.asarray(jax.numpy.isfinite(obj.state.x).all(axis=(1, 2)))
             if not finite.all():
                 bad = np.where(~finite)[0].tolist()
                 raise FloatingPointError(
@@ -297,19 +466,27 @@ class UipcSim:
     # ----------------------------------------------------- checkpoint / replay
     def save_frame(self) -> int:
         """Snapshot all object states (reference world.dump, uipc_sim.py:295)."""
-        self._frames[self._frame_counter] = [obj.state for obj in self.objects]
+        self._frames[self._frame_counter] = (
+            [obj.state for obj in self.objects if not obj.is_affine_body],
+            self._abd_state,
+            self._abd_aim_q,
+        )
         return self._frame_counter
 
     def replay_frame(self, frame: int) -> None:
         """Restore a snapshot (reference world.recover + retrieve)."""
         if frame not in self._frames:
             raise KeyError(f"no saved frame {frame}; saved: {sorted(self._frames)}")
-        for obj, st in zip(self.objects, self._frames[frame]):
+        fem_states, abd_state, abd_aim = self._frames[frame]
+        fem_objs = [o for o in self.objects if not o.is_affine_body]
+        for obj, st in zip(fem_objs, fem_states):
             obj.state = st
+        self._abd_state = abd_state
+        self._abd_aim_q = abd_aim
         if self._union_model is not None:
             self._union_state = SoftBodyState(
-                x=jnp.concatenate([o.state.x for o in self.objects], axis=1),
-                v=jnp.concatenate([o.state.v for o in self.objects], axis=1),
+                x=jnp.concatenate([o.state.x for o in fem_objs], axis=1),
+                v=jnp.concatenate([o.state.v for o in fem_objs], axis=1),
             )
         self._frame_counter = frame
 

@@ -1,0 +1,173 @@
+"""Affine Body Dynamics solver tests (physics/soft/abd.py).
+
+Covers the libuipc AffineBodyConstitution scope the reference exercises in
+its sample scenes (falling/stacking bodies, soft transform constraints,
+rotating motors — reference examples/libuipc-samples/*.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacex_tpu.physics.soft.abd import AbdModel, AbdSolverCfg, AbdState, rotate_target
+from tacex_tpu.physics.soft.ipc import RigidSdfScene
+
+
+def _cube(half=0.05):
+    P = np.array(
+        [[x, y, z] for x in (-half, half) for y in (-half, half) for z in (-half, half)],
+        np.float64,
+    )
+    # 12 outward-oriented triangles of the cube surface
+    faces = [
+        (0, 1, 3, 2, [-1, 0, 0]),
+        (4, 6, 7, 5, [1, 0, 0]),
+        (0, 4, 5, 1, [0, -1, 0]),
+        (2, 3, 7, 6, [0, 1, 0]),
+        (0, 2, 6, 4, [0, 0, -1]),
+        (1, 5, 7, 3, [0, 0, 1]),
+    ]
+    T = []
+    for a, b, c, d, n in faces:
+        for tri in ((a, b, c), (a, c, d)):
+            p0, p1, p2 = P[list(tri)]
+            if np.dot(np.cross(p1 - p0, p2 - p0), n) < 0:
+                tri = (tri[0], tri[2], tri[1])
+            T.append(tri)
+    return P, np.asarray(T, np.int64)
+
+
+def _ground_scene(n=1):
+    sc = RigidSdfScene.empty(n)
+    return RigidSdfScene(
+        sc.spheres, sc.boxes, sc.capsules,
+        sc.planes.at[:, 0].set(jnp.array([0.0, 0.0, 1.0, 0.0])),
+    )
+
+
+class TestAbd:
+    def test_cube_falls_and_rests(self):
+        P, T = _cube()
+        model = AbdModel([P], [T], cfg=AbdSolverCfg(contact_k=0))
+        st = AbdState.identity(1, 1, offsets=np.array([[0.0, 0.0, 0.08]]))
+        step = jax.jit(model.step)
+        scene = _ground_scene()
+        for _ in range(80):
+            st = step(st, scene)
+        z = float(st.q[0, 0, 2])
+        assert not np.isnan(np.asarray(st.q)).any()
+        # rests at half-extent + O(d_hat) gap, penetration-free
+        assert 0.0499 < z < 0.053, z
+        A = np.asarray(st.q[0, 0, 3:]).reshape(3, 3)
+        assert np.abs(A - np.eye(3)).max() < 5e-2  # stays rigid
+
+    def test_two_cubes_stack(self):
+        P, T = _cube()
+        model = AbdModel([P, P], [T, T], cfg=AbdSolverCfg(contact_k=8))
+        st = AbdState.identity(1, 2, offsets=np.array([[0.0, 0.0, 0.06], [0.0, 0.0, 0.18]]))
+        step = jax.jit(model.step)
+        scene = _ground_scene()
+        for _ in range(100):
+            st = step(st, scene)
+        z = np.asarray(st.q[0, :, 2])
+        assert not np.isnan(z).any()
+        assert 0.0499 < z[0] < 0.053, z
+        # upper cube rests ON the lower one (z ~ 0.05 + 0.1 + gaps), not
+        # fallen through and not bounced away
+        assert 0.149 < z[1] < 0.158, z
+
+    def test_friction_holds_on_slope(self):
+        """High-friction cube sticks on a tilted plane; frictionless slides
+        downhill (reference 10_ramp_sliding.py behavior)."""
+        P, T = _cube(half=0.02)
+        tilt = 0.3  # ~17 deg; tan = 0.31: mu=0 slides, mu=0.9 sticks
+        n = np.array([-np.sin(tilt), 0.0, np.cos(tilt)])
+        # cube oriented flush with the slope, resting d_hat above it
+        R = np.array(
+            [
+                [np.cos(-tilt), 0.0, np.sin(-tilt)],
+                [0.0, 1.0, 0.0],
+                [-np.sin(-tilt), 0.0, np.cos(-tilt)],
+            ]
+        )
+        center = (-0.0203 + 0.0205) * n
+
+        def run(mu):
+            model = AbdModel(
+                [P], [T], cfg=AbdSolverCfg(contact_k=0, friction_mu=mu)
+            )
+            sc = RigidSdfScene.empty(1)
+            scene = RigidSdfScene(
+                sc.spheres, sc.boxes, sc.capsules,
+                sc.planes.at[:, 0].set(jnp.asarray([*n, -0.0203], jnp.float32)),
+            )
+            st = AbdState.identity(1, 1, offsets=center[None])
+            q = st.q.at[0, 0, 3:].set(jnp.asarray(R.reshape(-1), jnp.float32))
+            st = AbdState(q=q, qd=st.qd)
+            step = jax.jit(model.step)
+            for _ in range(60):
+                st = step(st, scene)
+            return float(st.q[0, 0, 0])
+
+        x_stick = run(0.9)
+        x_slide = run(0.0)
+        # downhill is -x: the frictionless cube must slide well past the
+        # sticking one, which stays near its start
+        assert abs(x_stick - center[0]) < 0.01, (x_stick, center[0])
+        assert x_slide < x_stick - 0.01, (x_slide, x_stick)
+
+    def test_soft_transform_constraint_pulls_body(self):
+        """SoftTransformConstraint semantics: strong aim drags the body."""
+        P, T = _cube(half=0.02)
+        model = AbdModel([P], [T], cfg=AbdSolverCfg(contact_k=0, friction_mu=0.0))
+        st = AbdState.identity(1, 1, offsets=np.array([[0.0, 0.0, 0.1]]))
+        target = AbdState.identity(1, 1, offsets=np.array([[0.05, 0.02, 0.1]])).q
+        step = jax.jit(model.step)
+        scene = _ground_scene()
+        strength = jnp.full((1, 1), 100.0)
+        for _ in range(60):
+            st = step(st, scene, aim_q=target, aim_strength=strength)
+        pos = np.asarray(st.q[0, 0, :3])
+        assert np.linalg.norm(pos - np.array([0.05, 0.02, 0.1])) < 0.01, pos
+
+    def test_rotating_motor_target(self):
+        """rotate_target advances an affine target like libuipc RotatingMotor."""
+        q0 = AbdState.identity(1, 1).q[0, 0]
+        q1 = rotate_target(q0, jnp.array([0.0, 0.0, 1.0]), jnp.pi / 2)
+        A = np.asarray(q1[3:]).reshape(3, 3)
+        expect = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+        assert np.abs(A - expect).max() < 1e-5
+
+    def test_motor_spins_constrained_body(self):
+        P, T = _cube(half=0.02)
+        model = AbdModel([P], [T], cfg=AbdSolverCfg(contact_k=0, friction_mu=0.0))
+        st = AbdState.identity(1, 1, offsets=np.array([[0.0, 0.0, 0.1]]))
+        target = st.q
+        step = jax.jit(model.step)
+        rot = jax.jit(
+            lambda q: jax.vmap(jax.vmap(lambda qq: rotate_target(qq, jnp.array([0.0, 0.0, 1.0]), 0.05)))(q)
+        )
+        scene = _ground_scene()
+        strength = jnp.full((1, 1), 100.0)
+        for _ in range(40):
+            target = rot(target)
+            st = step(st, scene, aim_q=target, aim_strength=strength)
+        A = np.asarray(st.q[0, 0, 3:]).reshape(3, 3)
+        ang = np.arctan2(A[1, 0], A[0, 0])
+        assert ang > 0.8, ang  # followed ~2 rad of commanded rotation
+
+    def test_batched_envs_independent(self):
+        P, T = _cube()
+        model = AbdModel([P], [T], cfg=AbdSolverCfg(contact_k=0))
+        st = AbdState.identity(2, 1, offsets=np.array([[0.0, 0.0, 0.08]]))
+        # env 1 starts higher
+        st = AbdState(q=st.q.at[1, 0, 2].set(0.3), qd=st.qd)
+        step = jax.jit(model.step)
+        scene = _ground_scene(2)
+        for _ in range(20):
+            st = step(st, scene)
+        z = np.asarray(st.q[:, 0, 2])
+        assert z[0] < 0.06  # already landed
+        assert z[1] > z[0] + 0.01  # still falling — envs independent
