@@ -1,0 +1,419 @@
+"""Batched implicit shell (cloth) solver with IPC barrier contact.
+
+TPU-native counterpart of libuipc's shell constitutions
+(``NeoHookeanShell`` + ``DiscreteShellBending``; reference scope:
+uipc_sim.py:23-26 constitution list and the bunny-cloth sample
+examples/libuipc-samples/11_bunny_cloth.py:72-79 — 10 kPa membrane,
+1 mm thickness, density 200, bending E=10, dropped on a fixed body).
+
+Design mirrors :class:`ipc.SoftBodyModel` (same incremental potential /
+matrix-free-CG Newton / feasibility line search / lagged friction — one
+vmapped solve over all envs), with shell-specific energies:
+
+  * Membrane: constant-strain-triangle 2D Neo-Hookean. Per triangle the
+    3x2 deformation gradient F maps rest tangent coordinates to world;
+    psi = mu/2 (tr C - 2) - mu ln J + lam/2 (ln J)^2 with C = F^T F and
+    J = sqrt(det C), integrated over rest area x thickness.
+  * Bending: discrete-shells hinge energy kb * (theta - theta0)^2 *
+    |e|/h_bar per interior edge (Grinspun et al.), theta from an
+    atan2(sin, cos) dihedral — autodiff-stable away from degenerate
+    triangles, which the membrane term already forbids.
+  * Contact: IPC log-barrier (with the C^2 penetration extension shared
+    with the FEM solver) against (a) analytic scene SDFs and (b) an
+    optional STATIC triangle-soup collider (the fixed ABD bunny of the
+    sample) via fixed-capacity K-nearest candidate triangles per vertex.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ...core.config import configclass
+from ...ops import sdf as sdf_ops
+from .ipc import (
+    RigidSdfScene,
+    SoftBodyState,
+    _point_triangle_distance,
+    _segment_crosses_triangle,
+)
+
+
+@configclass
+class ShellSolverCfg:
+    dt: float = 0.01
+    gravity: tuple = (0.0, 0.0, -9.81)
+    newton_max_iter: int = 8
+    velocity_tol: float = 0.05
+    cg_iters: int = 24
+    line_search_iters: int = 8
+    d_hat: float = 0.002
+    kappa: float = 1e4
+    friction_mu: float = 0.5
+    eps_velocity: float = 0.01
+    damping: float = 0.0
+    static_contact_k: int = 4  # candidate static triangles per cloth vertex
+
+
+class ShellModel:
+    """Static topology + vmapped step for one cloth shared by all envs.
+
+    Args:
+      points: (V, 3) rest vertex positions.
+      triangles: (T, 3) triangle indices.
+      youngs_modulus / poisson_ratio / thickness / mass_density: membrane
+        parameters (NeoHookeanShell.apply_to signature).
+      bending_stiffness: DiscreteShellBending ``E``.
+      static_tris: optional (Ts, 3, 3) world-frame triangle soup the cloth
+        collides against (fixed bodies).
+      attachment_verts: pinned/aimed vertices (SoftPositionConstraint).
+    """
+
+    def __init__(
+        self,
+        points: np.ndarray,
+        triangles: np.ndarray,
+        youngs_modulus: float = 1e4,
+        poisson_ratio: float = 0.3,
+        thickness: float = 0.001,
+        mass_density: float = 200.0,
+        bending_stiffness: float = 10.0,
+        cfg: ShellSolverCfg | None = None,
+        static_tris: np.ndarray | None = None,
+        attachment_verts: np.ndarray | None = None,
+        attachment_strength_ratio: float = 100.0,
+    ):
+        self.cfg = cfg or ShellSolverCfg()
+        P = np.asarray(points, np.float64)
+        T = np.asarray(triangles, np.int64)
+        self.num_vertices = len(P)
+        self.tris = jnp.asarray(T, jnp.int32)
+
+        # ---- membrane rest state: 2D tangent frame per triangle
+        e1 = P[T[:, 1]] - P[T[:, 0]]
+        e2 = P[T[:, 2]] - P[T[:, 0]]
+        n = np.cross(e1, e2)
+        area2 = np.linalg.norm(n, axis=-1)
+        if (area2 < 1e-14).any():
+            raise ValueError("degenerate rest triangle in shell mesh")
+        t1 = e1 / np.linalg.norm(e1, axis=-1, keepdims=True)
+        nn = n / area2[:, None]
+        t2 = np.cross(nn, t1)
+        # rest 2x2 material matrix D = [[e1.t1, e2.t1], [0, e2.t2]]
+        D = np.zeros((len(T), 2, 2))
+        D[:, 0, 0] = (e1 * t1).sum(-1)
+        D[:, 0, 1] = (e2 * t1).sum(-1)
+        D[:, 1, 1] = (e2 * t2).sum(-1)
+        self.d_inv = jnp.asarray(np.linalg.inv(D), jnp.float32)  # (T, 2, 2)
+        area = 0.5 * area2
+        self.rest_area = jnp.asarray(area, jnp.float32)
+        E, nu = float(youngs_modulus), float(poisson_ratio)
+        self.mu = E / (2.0 * (1.0 + nu))
+        self.lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu + 1e-9))
+        self.thickness = float(thickness)
+
+        # lumped vertex masses: density * thickness * area / 3 per corner
+        masses = np.zeros(len(P))
+        np.add.at(masses, T.reshape(-1), np.repeat(mass_density * thickness * area / 3.0, 3))
+        self.masses = jnp.asarray(masses, jnp.float32)
+
+        # ---- bending hinges: interior edges with their opposite vertices
+        edge_map: dict[tuple[int, int], list[tuple[int, int]]] = {}
+        for ti, tri in enumerate(T):
+            for k in range(3):
+                a, b = int(tri[k]), int(tri[(k + 1) % 3])
+                o = int(tri[(k + 2) % 3])
+                edge_map.setdefault((min(a, b), max(a, b)), []).append((ti, o))
+        hinges = []
+        for (a, b), occ in edge_map.items():
+            if len(occ) == 2:
+                hinges.append((a, b, occ[0][1], occ[1][1]))
+        if hinges:
+            H = np.asarray(hinges, np.int64)  # (H, 4): edge a-b, opposite c, d
+            self.hinges = jnp.asarray(H, jnp.int32)
+            e_len = np.linalg.norm(P[H[:, 1]] - P[H[:, 0]], axis=-1)
+            # h_bar = 1/3 of the summed opposite heights (Grinspun weight)
+            a_sum = area[[edge_map[(int(h[0]), int(h[1]))][0][0] for h in H]] + area[
+                [edge_map[(int(h[0]), int(h[1]))][1][0] for h in H]
+            ]
+            h_bar = (2.0 / 3.0) * a_sum / e_len
+            # plate-bending modulus: k_b = E_bend * t^3 / 12 (per unit
+            # width), times the discrete-shells hinge weight |e|/h_bar —
+            # with the sample's E=10, t=1mm this makes bending cloth-soft
+            # (dominated by gravity/membrane), as the drape demands
+            kb = bending_stiffness * thickness**3 / 12.0
+            self.hinge_w = jnp.asarray(
+                kb * e_len / np.maximum(h_bar, 1e-9), jnp.float32
+            )
+            # rest dihedral (flat grids: 0; general shells keep their shape)
+            self.theta0 = jnp.asarray(
+                np.asarray(
+                    self._dihedral_np(P, H), np.float32
+                )
+            )
+        else:
+            self.hinges = jnp.zeros((0, 4), jnp.int32)
+            self.hinge_w = jnp.zeros((0,), jnp.float32)
+            self.theta0 = jnp.zeros((0,), jnp.float32)
+
+        # ---- static collider
+        if static_tris is not None and len(static_tris) > 0:
+            self.static_tris = jnp.asarray(static_tris, jnp.float32)  # (Ts, 3, 3)
+            self.static_cent = self.static_tris.mean(axis=1)
+        else:
+            self.static_tris = None
+            self.static_cent = None
+
+        if attachment_verts is not None and len(attachment_verts) > 0:
+            self.attachment_verts = jnp.asarray(attachment_verts, jnp.int32)
+            k = np.broadcast_to(
+                np.asarray(attachment_strength_ratio, np.float64),
+                (len(attachment_verts),),
+            )
+            self.attachment_k = jnp.asarray(
+                k * np.maximum(masses[np.asarray(attachment_verts)], 1e-9) / self.cfg.dt**2,
+                jnp.float32,
+            )
+        else:
+            self.attachment_verts = jnp.zeros((0,), jnp.int32)
+            self.attachment_k = jnp.zeros((0,), jnp.float32)
+
+        self.surface_verts = jnp.arange(self.num_vertices, dtype=jnp.int32)
+
+    @staticmethod
+    def _dihedral_np(P, H):
+        x0, x1, x2, x3 = P[H[:, 0]], P[H[:, 1]], P[H[:, 2]], P[H[:, 3]]
+        e = x1 - x0
+        n1 = np.cross(e, x2 - x0)
+        n2 = np.cross(x3 - x0, e)
+        n1n = np.linalg.norm(n1, axis=-1) + 1e-12
+        n2n = np.linalg.norm(n2, axis=-1) + 1e-12
+        en = np.linalg.norm(e, axis=-1) + 1e-12
+        cos = (n1 * n2).sum(-1) / (n1n * n2n)
+        sin = (np.cross(n1, n2) * e).sum(-1) / (n1n * n2n * en)
+        return np.arctan2(sin, cos)
+
+    # -------------------------------------------------------------- energies
+    def _membrane(self, x: jax.Array) -> jax.Array:
+        a = x[self.tris[:, 0]]
+        f1 = x[self.tris[:, 1]] - a  # (T, 3)
+        f2 = x[self.tris[:, 2]] - a
+        Fw = jnp.stack([f1, f2], axis=-1)  # (T, 3, 2) world edges
+        F = jnp.einsum("tik,tkj->tij", Fw, self.d_inv)  # (T, 3, 2)
+        C = jnp.einsum("tki,tkj->tij", F, F)  # (T, 2, 2)
+        I2 = C[:, 0, 0] + C[:, 1, 1]
+        detC = jnp.maximum(C[:, 0, 0] * C[:, 1, 1] - C[:, 0, 1] * C[:, 1, 0], 1e-12)
+        lnJ = 0.5 * jnp.log(detC)
+        psi = 0.5 * self.mu * (I2 - 2.0) - self.mu * lnJ + 0.5 * self.lam * lnJ**2
+        return jnp.sum(psi * self.rest_area * self.thickness)
+
+    def _bending(self, x: jax.Array) -> jax.Array:
+        if self.hinges.shape[0] == 0:
+            return 0.0
+        H = self.hinges
+        x0, x1, x2, x3 = x[H[:, 0]], x[H[:, 1]], x[H[:, 2]], x[H[:, 3]]
+        e = x1 - x0
+        n1 = jnp.cross(e, x2 - x0)
+        n2 = jnp.cross(x3 - x0, e)
+        n1n = jnp.sqrt((n1**2).sum(-1) + 1e-16)
+        n2n = jnp.sqrt((n2**2).sum(-1) + 1e-16)
+        en = jnp.sqrt((e**2).sum(-1) + 1e-16)
+        cos = (n1 * n2).sum(-1) / (n1n * n2n)
+        sin = (jnp.cross(n1, n2) * e).sum(-1) / (n1n * n2n * en)
+        theta = jnp.arctan2(sin, cos)
+        return jnp.sum(self.hinge_w * (theta - self.theta0) ** 2)
+
+    def _barrier(self, d: jax.Array) -> jax.Array:
+        """Log-barrier with C^2 quadratic extension (see ipc._barrier)."""
+        dh = self.cfg.d_hat
+        d0 = 0.1 * dh
+        d_c = jnp.clip(d, d0, dh)
+        active = d < dh
+        b_core = -self.cfg.kappa * (d_c - dh) ** 2 * jnp.log(d_c / dh)
+        lg = math.log(d0 / dh)
+        b_d0 = -self.cfg.kappa * (d0 - dh) ** 2 * lg
+        db_d0 = -self.cfg.kappa * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
+        d2b_d0 = -self.cfg.kappa * (
+            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
+        )
+        dd = d - d0
+        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
+        return jnp.where(active, b, 0.0).sum()
+
+    def _static_candidates(self, x: jax.Array):
+        """K nearest static-collider triangles per vertex (stop-gradient)."""
+        k = min(self.cfg.static_contact_k, self.static_cent.shape[0])
+        d2 = ((x[:, None, :] - self.static_cent[None]) ** 2).sum(-1)
+        neg, cand = jax.lax.top_k(-d2, k)
+        return jax.lax.stop_gradient(cand)
+
+    def _static_distance(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+        tri = self.static_tris[cand]  # (V, K, 3, 3)
+        return _point_triangle_distance(
+            x[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+        )
+
+    def _energy(self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, static_cand):
+        c = self.cfg
+        dx = x - x_tilde
+        inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * dx * dx)
+        elastic = self._membrane(x) + self._bending(x)
+        d = sdf_ops.scene_sdf(x, scene.spheres, scene.boxes, scene.capsules, scene.planes)
+        contact = self._barrier(d)
+        if static_cand is not None:
+            contact = contact + self._barrier(self._static_distance(x, static_cand))
+        attach = 0.0
+        if self.attachment_verts.shape[0] > 0:
+            attach = 0.5 * jnp.sum(
+                self.attachment_k[:, None] * (x[self.attachment_verts] - aim_pos) ** 2
+            )
+        friction = 0.0
+        if friction_basis is not None:
+            lam_n, n_dir = friction_basis
+            du = x - x_prev
+            du_t = du - jnp.sum(du * n_dir, -1, keepdims=True) * n_dir
+            ut2 = jnp.sum(du_t**2, -1)
+            eps = c.eps_velocity * c.dt
+            f0 = jnp.where(
+                ut2 < eps * eps,
+                ut2 / (2 * eps) + eps / 2,
+                jnp.sqrt(jnp.maximum(ut2, eps * eps)),
+            )
+            friction = c.friction_mu * jnp.sum(lam_n * f0)
+        return inertia + elastic + contact + attach + friction
+
+    # ------------------------------------------------------------ single env
+    def _step_single(self, x, v, scene, aim_pos):
+        c = self.cfg
+        g = jnp.asarray(c.gravity, jnp.float32)
+        x_tilde = x + c.dt * v + c.dt**2 * g
+
+        sdf_fn = lambda p: sdf_ops.scene_sdf(
+            p, scene.spheres, scene.boxes, scene.capsules, scene.planes
+        )
+        d0 = sdf_fn(x)
+        n_dir = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(x)
+        n_dir = n_dir / jnp.maximum(jnp.linalg.norm(n_dir, axis=-1, keepdims=True), 1e-9)
+        dh = c.d_hat
+        d0s = jnp.clip(d0, 1e-9, dh)
+        lam_n = jnp.where(
+            d0 < dh,
+            c.kappa * jnp.abs(2.0 * (d0s - dh) * jnp.log(d0s / dh) + (d0s - dh) ** 2 / d0s),
+            0.0,
+        )
+        friction_basis = (lam_n, n_dir) if c.friction_mu > 0 else None
+        static_cand = self._static_candidates(x) if self.static_tris is not None else None
+
+        energy = lambda xx: self._energy(
+            xx, x_tilde, scene, aim_pos, x, friction_basis, static_cand
+        )
+
+        d_floor = jnp.minimum(sdf_fn(x).min(), 0.0)
+
+        def feasible(xx, x_from):
+            ok = sdf_fn(xx).min() > d_floor
+            if static_cand is not None:
+                ok = ok & (self._static_distance(xx, static_cand).min() > 1e-7)
+                tri = self.static_tris[static_cand]  # (V, K, 3, 3)
+                crossed = _segment_crosses_triangle(
+                    x_from[:, None, :], xx[:, None, :],
+                    tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
+                )
+                ok = ok & ~crossed.any()
+            return ok
+
+        precond = 1.0 / (self.masses[:, None] / c.dt**2)
+
+        def newton_iter(_, carry):
+            x_k, done = carry
+            grad = jax.grad(energy)(x_k)
+            hvp = lambda p: jax.jvp(jax.grad(energy), (x_k,), (p,))[1]
+
+            def cg_body(_, cg):
+                p_dir, r, z, xsol = cg
+                hp = hvp(p_dir)
+                denom = jnp.sum(p_dir * hp)
+                alpha = jnp.where(jnp.abs(denom) > 1e-20, jnp.sum(r * z) / denom, 0.0)
+                xsol = xsol + alpha * p_dir
+                r_new = r - alpha * hp
+                z_new = precond * r_new
+                beta = jnp.where(
+                    jnp.sum(r * z) > 1e-20, jnp.sum(r_new * z_new) / jnp.sum(r * z), 0.0
+                )
+                return (z_new + beta * p_dir, r_new, z_new, xsol)
+
+            r0 = -grad
+            z0 = precond * r0
+            _, _, _, p = jax.lax.fori_loop(
+                0, c.cg_iters, cg_body, (z0, r0, z0, jnp.zeros_like(x_k))
+            )
+            descent = jnp.sum(p * grad) < 0
+            p = jnp.where(descent, p, -z0)
+
+            e0 = energy(x_k)
+
+            def ls_body(_, ls):
+                alpha, accepted = ls
+                x_try = x_k + alpha * p
+                ok = (energy(x_try) < e0) & feasible(x_try, x_k)
+                return (jnp.where(ok | accepted, alpha, alpha * 0.5), ok | accepted)
+
+            alpha, accepted = jax.lax.fori_loop(
+                0, c.line_search_iters, ls_body, (1.0, False)
+            )
+            alpha = jnp.where(accepted, alpha, 0.0)
+            step_vec = alpha * p
+            x_new = jnp.where(done, x_k, x_k + step_vec)
+            done = done | (jnp.abs(step_vec).max() / c.dt < c.velocity_tol)
+            return (x_new, done)
+
+        x_new, _ = jax.lax.fori_loop(0, c.newton_max_iter, newton_iter, (x, False))
+        v_new = (x_new - x) / c.dt * (1.0 - c.damping)
+        return x_new, v_new
+
+    # ----------------------------------------------------------------- public
+    def step(
+        self,
+        state: SoftBodyState,
+        scene: RigidSdfScene,
+        aim_pos: jax.Array | None = None,
+    ) -> SoftBodyState:
+        n = state.x.shape[0]
+        if aim_pos is None:
+            aim_pos = jnp.zeros((n, self.attachment_verts.shape[0], 3))
+
+        def one(x, v, sph, box, cap, pl, aim):
+            sc = RigidSdfScene(sph, box, cap, pl)
+            return self._step_single(x, v, sc, aim)
+
+        x, v = jax.vmap(one)(
+            state.x, state.v, scene.spheres, scene.boxes, scene.capsules, scene.planes,
+            aim_pos,
+        )
+        return SoftBodyState(x=x, v=v)
+
+    def surface_positions(self, state: SoftBodyState) -> jax.Array:
+        return state.x
+
+
+def grid_cloth(nx: int = 20, ny: int = 20, size: float = 2.0, z: float = 1.0):
+    """(points, triangles) of an nx-by-ny cloth grid (the sample's
+    grid20x20.obj scaled by 2, 11_bunny_cloth.py:69-71)."""
+    xs = np.linspace(-size / 2, size / 2, nx)
+    ys = np.linspace(-size / 2, size / 2, ny)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    P = np.stack([gx, gy, np.full_like(gx, z)], -1).reshape(-1, 3).astype(np.float32)
+    T = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            v00 = i * ny + j
+            v01 = v00 + 1
+            v10 = v00 + ny
+            v11 = v10 + 1
+            T.append([v00, v10, v11])
+            T.append([v00, v11, v01])
+    return P, np.asarray(T, np.int32)
