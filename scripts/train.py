@@ -35,7 +35,10 @@ def main() -> None:
     p.add_argument("--algorithm", choices=["ppo", "sac"], default="ppo")
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--iterations", type=int, default=100)
-    p.add_argument("--rollouts", type=int, default=64)
+    p.add_argument(
+        "--rollouts", type=int, default=None,
+        help="override the per-task tuned rollout length (rl/agents.py)",
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--checkpoint_interval", type=int, default=50)
@@ -45,12 +48,17 @@ def main() -> None:
     args = p.parse_args()
 
     env = envs.make(args.task, num_envs=args.num_envs)
-    if args.algorithm == "sac":
-        from tacex_tpu.rl import SAC, SACConfig
+    from tacex_tpu.rl.agents import agent_cfg_for
 
-        ppo = SAC(env, SACConfig(rollout_steps=args.rollouts))
+    if args.algorithm == "sac":
+        from tacex_tpu.rl import SAC
+
+        cfg = agent_cfg_for(args.task, "sac", rollout_steps=args.rollouts)
+        ppo = SAC(env, cfg)
     else:
-        ppo = PPO(env, PPOConfig(rollouts=args.rollouts))
+        cfg = agent_cfg_for(args.task, "ppo", rollouts=args.rollouts)
+        ppo = PPO(env, cfg)
+    print(f"agent cfg ({args.algorithm}): {cfg}")
     ts = ppo.init(jax.random.PRNGKey(args.seed))
 
     if args.shard and len(jax.devices()) > 1:
@@ -81,7 +89,7 @@ def main() -> None:
         metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
         dt = time.time() - t0
         if it % args.log_interval == 0:
-            sps = args.num_envs * args.rollouts / dt
+            sps = args.num_envs * getattr(cfg, 'rollouts', getattr(cfg, 'rollout_steps', 1)) / dt
             print(
                 json.dumps(
                     {

@@ -1,0 +1,70 @@
+"""Per-task tuned agent configurations.
+
+Counterpart of the reference's per-task agent YAML tree
+(source/tacex_tasks/tacex_tasks/*/agents/skrl_*_cfg.yaml and
+factory/agents/rl_games_ppo_cfg.yaml): every gym id maps to the
+hyperparameters its YAML carries, so `train.py --task X` picks the tuned
+config exactly like the reference's gym.register(kwargs={"skrl_cfg_entry_point"}).
+
+The reference's tuning splits cleanly by observation modality:
+  * state-vector tasks (skrl_ppo_cfg.yaml): rollouts 24, epochs 8,
+    mini-batches 4, KL target 0.01, entropy 0.001, obs standardization;
+  * vision tasks (skrl_ppo_camera/tactile_rgb_cfg.yaml): rollouts 64,
+    epochs 4, mini-batches 32, KL target 0.008, entropy 0;
+  * Factory (rl_games_ppo_cfg.yaml): horizon 128, gamma 0.995, lr 1e-4.
+"""
+
+from __future__ import annotations
+
+from .ppo import PPOConfig
+from .sac import SACConfig
+
+_STATE_PPO = dict(
+    rollouts=24, learning_epochs=8, mini_batches=4,
+    kl_threshold=0.01, entropy_loss_scale=0.001,
+)
+_VISION_PPO = dict(
+    rollouts=64, learning_epochs=4, mini_batches=32,
+    kl_threshold=0.008, entropy_loss_scale=0.0,
+)
+_FACTORY_PPO = dict(
+    rollouts=128, learning_epochs=4, mini_batches=32,
+    discount_factor=0.995, kl_threshold=0.008, entropy_loss_scale=0.0,
+)
+
+# task id -> PPO kwargs (reference agents/ YAML per task)
+PPO_AGENT_CFGS: dict[str, dict] = {
+    "TacEx-Ball-Rolling-Privileged-v0": _STATE_PPO,
+    "TacEx-Ball-Rolling-Privileged-Reset-With-IK-v0": _STATE_PPO,
+    "TacEx-Ball-Rolling-Privileged-Without-Reaching-v0": _STATE_PPO,
+    "TacEx-Ball-Rolling-Tactile-Depth-v1": _VISION_PPO,
+    "TacEx-Ball-Rolling-Tactile-RGB-v0": _VISION_PPO,
+    "TacEx-Ball-Rolling-Taxim-Fots-v0": _VISION_PPO,
+    "TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0": _VISION_PPO,
+    "TacEx-Ball-Rolling-Uipc-Textured-v0": _VISION_PPO,
+    "TacEx-Pole-Balancing-Base-v0": _VISION_PPO,
+    "TacEx-Factory-PegInsert-Direct-v0": _FACTORY_PPO,
+    "TacEx-Factory-GearMesh-Direct-v0": _FACTORY_PPO,
+    "TacEx-Factory-NutThread-Direct-v0": _FACTORY_PPO,
+}
+
+# skrl_sac_cfg.yaml: batch 256, lr 1e-4 (state) / 5e-4 grad steps (vision)
+SAC_AGENT_CFGS: dict[str, dict] = {
+    "TacEx-Ball-Rolling-Privileged-v0": dict(batch_size=256, actor_lr=1e-4, critic_lr=1e-4),
+    "TacEx-Pole-Balancing-Base-v0": dict(batch_size=256),
+}
+
+
+def agent_cfg_for(task_id: str, algorithm: str = "ppo", **overrides):
+    """Tuned config for a task (reference per-task YAML equivalent).
+
+    ``overrides`` (e.g. a user's --rollouts) always win over the tuned
+    values; unknown tasks fall back to the library defaults.
+    """
+    if algorithm == "sac":
+        base = dict(SAC_AGENT_CFGS.get(task_id, {}))
+        base.update({k: v for k, v in overrides.items() if v is not None})
+        return SACConfig(**base)
+    base = dict(PPO_AGENT_CFGS.get(task_id, {}))
+    base.update({k: v for k, v in overrides.items() if v is not None})
+    return PPOConfig(**base)
