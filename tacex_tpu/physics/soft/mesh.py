@@ -214,6 +214,195 @@ def voxel_tet_mesh(
     )
 
 
+def _closest_point_on_tris(p: np.ndarray, a, b, c) -> np.ndarray:
+    """Closest points of (P, 3) points onto (F, 3, 3) triangles -> (P, F, 3).
+
+    Vectorized Ericson RTCD 5.1.5 (numpy, host-side precompute only)."""
+    ab, ac = b - a, c - a  # (F, 3)
+    ap = p[:, None, :] - a[None]  # (P, F, 3)
+    d1 = np.einsum("fk,pfk->pf", ab, ap)
+    d2 = np.einsum("fk,pfk->pf", ac, ap)
+    bp = p[:, None, :] - b[None]
+    d3 = np.einsum("fk,pfk->pf", ab, bp)
+    d4 = np.einsum("fk,pfk->pf", ac, bp)
+    cp = p[:, None, :] - c[None]
+    d5 = np.einsum("fk,pfk->pf", ab, cp)
+    d6 = np.einsum("fk,pfk->pf", ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = np.maximum(va + vb + vc, 1e-30)
+    v_f = (vb / denom)[..., None]
+    w_f = (vc / denom)[..., None]
+    q = a[None] + v_f * ab[None] + w_f * ac[None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ab = np.clip(d1 / np.where(np.abs(d1 - d3) > 1e-30, d1 - d3, 1e-30), 0, 1)
+        t_ac = np.clip(d2 / np.where(np.abs(d2 - d6) > 1e-30, d2 - d6, 1e-30), 0, 1)
+        den_bc = (d4 - d3) + (d5 - d6)
+        t_bc = np.clip((d4 - d3) / np.where(np.abs(den_bc) > 1e-30, den_bc, 1e-30), 0, 1)
+    q = np.where(((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None],
+                 b[None] + t_bc[..., None] * (c - b)[None], q)
+    q = np.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+                 a[None] + t_ac[..., None] * ac[None], q)
+    q = np.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                 a[None] + t_ab[..., None] * ab[None], q)
+    q = np.where(((d6 >= 0) & (d5 <= d6))[..., None], np.broadcast_to(c[None], q.shape), q)
+    q = np.where(((d3 >= 0) & (d4 <= d3))[..., None], np.broadcast_to(b[None], q.shape), q)
+    q = np.where(((d1 <= 0) & (d2 <= 0))[..., None], np.broadcast_to(a[None], q.shape), q)
+    return q
+
+
+def _ray_parity_inside(points: np.ndarray, v0, v1, v2) -> np.ndarray:
+    """Inside test by +z ray-crossing parity, grouped by (x, y) columns."""
+    inside = np.zeros(len(points), bool)
+    cols, col_inv = np.unique(np.round(points[:, :2] / 1e-9).astype(np.int64),
+                              axis=0, return_inverse=True)
+    e1 = (v1 - v0)[:, :2]
+    e2 = (v2 - v0)[:, :2]
+    det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+    ok = np.abs(det) > 1e-18
+    for ci in range(len(cols)):
+        sel = col_inv == ci
+        ox, oy = points[sel][0, 0], points[sel][0, 1]
+        dd = np.stack([np.full(len(v0), ox), np.full(len(v0), oy)], -1) - v0[:, :2]
+        w1 = (dd[:, 0] * e2[:, 1] - dd[:, 1] * e2[:, 0]) / np.where(ok, det, 1.0)
+        w2 = (e1[:, 0] * dd[:, 1] - e1[:, 1] * dd[:, 0]) / np.where(ok, det, 1.0)
+        hit = ok & (w1 >= 0) & (w2 >= 0) & (w1 + w2 <= 1)
+        if not hit.any():
+            continue
+        zs = np.sort(
+            v0[hit][:, 2]
+            + w1[hit] * (v1 - v0)[hit][:, 2]
+            + w2[hit] * (v2 - v0)[hit][:, 2]
+        )
+        below = np.searchsorted(zs, points[sel][:, 2])
+        inside[sel] = (below % 2) == 1
+    return inside
+
+
+def isosurface_stuffing_tet_mesh(
+    surf_points: np.ndarray,
+    surf_tris: np.ndarray,
+    resolution: int = 12,
+    warp_alpha: float = 0.3,
+) -> TetMesh:
+    """Quality tetrahedralization of a closed triangle mesh: BCC lattice
+    isosurface stuffing with boundary warping.
+
+    The fTetWild-class replacement for the reference's wildmeshing
+    MeshGenerator (reference mesh_gen.py:17-106 — AMIPS quality target,
+    envelope epsilon): a body-centered-cubic lattice is stuffed with the
+    standard BCC tets (dihedral angles bounded by construction, unlike the
+    stair-stepped Kuhn-split voxel mesher); lattice points within
+    ``warp_alpha * h`` of the surface snap onto their closest surface point
+    (the Labelle–Shewchuk warp rule), so the boundary is smooth and
+    conforming to O(h^2) instead of O(h). Interior-only tets are kept —
+    the cut-cell stencil table of full isosurface stuffing is traded for
+    the warp, which preserves its practical quality at these resolutions.
+    """
+    P = np.asarray(surf_points, np.float64)
+    F = np.asarray(surf_tris, np.int64)
+    lo = P.min(axis=0)
+    hi = P.max(axis=0)
+    size = hi - lo
+    h = float(size.max()) / resolution
+    pad = 1  # one lattice cell of padding so the surface never touches the hull
+    dims = np.maximum(np.ceil(size / h).astype(int) + 2 * pad, 2)
+    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
+    origin = lo - pad * h
+
+    # lattice: primary nodes (nx+1)*(ny+1)*(nz+1) then cell centers nx*ny*nz
+    gi, gj, gk = np.meshgrid(
+        np.arange(nx + 1), np.arange(ny + 1), np.arange(nz + 1), indexing="ij"
+    )
+    prim = origin + h * np.stack([gi, gj, gk], -1).reshape(-1, 3)
+    ci, cj, ck = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    cent = origin + h * (np.stack([ci, cj, ck], -1).reshape(-1, 3) + 0.5)
+    nodes = np.concatenate([prim, cent])
+    n_prim = len(prim)
+
+    def pid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    def cid(i, j, k):
+        return n_prim + (i * ny + j) * nz + k
+
+    # signed distance: unsigned via closest point (chunked), sign via parity
+    v0, v1, v2 = P[F[:, 0]], P[F[:, 1]], P[F[:, 2]]
+    dist = np.empty(len(nodes))
+    closest = np.empty((len(nodes), 3))
+    chunk = max(1, 2_000_000 // max(len(F), 1))
+    for s in range(0, len(nodes), chunk):
+        q = _closest_point_on_tris(nodes[s : s + chunk], v0, v1, v2)
+        d2 = ((nodes[s : s + chunk, None, :] - q) ** 2).sum(-1)
+        amin = d2.argmin(axis=1)
+        dist[s : s + chunk] = np.sqrt(d2[np.arange(len(amin)), amin])
+        closest[s : s + chunk] = q[np.arange(len(amin)), amin]
+    inside = _ray_parity_inside(nodes, v0, v1, v2)
+    sd = np.where(inside, -dist, dist)
+
+    # warp: snap near-surface lattice points onto the surface
+    snap = dist < warp_alpha * h
+    nodes = np.where(snap[:, None], closest, nodes)
+    sd = np.where(snap, 0.0, sd)
+
+    # BCC tets: for each pair of face-adjacent cells, 4 tets per shared face
+    tets = []
+
+    def add_face_tets(c1, c2, p_ids):
+        for t in range(4):
+            tets.append((c1, c2, p_ids[t], p_ids[(t + 1) % 4]))
+
+    for ix in range(nx):
+        for iy in range(ny):
+            for iz in range(nz):
+                c1 = cid(ix, iy, iz)
+                if ix + 1 < nx:  # face ⟂x between cells
+                    ps = [pid(ix + 1, iy, iz), pid(ix + 1, iy + 1, iz),
+                          pid(ix + 1, iy + 1, iz + 1), pid(ix + 1, iy, iz + 1)]
+                    add_face_tets(c1, cid(ix + 1, iy, iz), ps)
+                if iy + 1 < ny:
+                    ps = [pid(ix, iy + 1, iz), pid(ix, iy + 1, iz + 1),
+                          pid(ix + 1, iy + 1, iz + 1), pid(ix + 1, iy + 1, iz)]
+                    add_face_tets(c1, cid(ix, iy + 1, iz), ps)
+                if iz + 1 < nz:
+                    ps = [pid(ix, iy, iz + 1), pid(ix + 1, iy, iz + 1),
+                          pid(ix + 1, iy + 1, iz + 1), pid(ix, iy + 1, iz + 1)]
+                    add_face_tets(c1, cid(ix, iy, iz + 1), ps)
+    tets = np.asarray(tets, np.int64)
+
+    # keep tets whose vertices are all inside or on the (warped) surface
+    keep = (sd[tets] <= 1e-12).all(axis=1)
+    tets = tets[keep]
+    # drop degenerate tets the warp may have flattened
+    d1 = nodes[tets[:, 1]] - nodes[tets[:, 0]]
+    d2_ = nodes[tets[:, 2]] - nodes[tets[:, 0]]
+    d3 = nodes[tets[:, 3]] - nodes[tets[:, 0]]
+    vol6 = np.einsum("ij,ij->i", np.cross(d1, d2_), d3)
+    ref_vol = h**3 / 12.0  # BCC tet volume at lattice spacing h
+    good = np.abs(vol6) / 6.0 > 0.05 * ref_vol
+    tets = tets[good]
+    vol6 = vol6[good]
+    if len(tets) == 0:
+        raise ValueError("isosurface stuffing produced an empty mesh; raise resolution")
+    flip = vol6 < 0
+    tets[flip, 1], tets[flip, 2] = tets[flip, 2].copy(), tets[flip, 1].copy()
+
+    # compact vertex ids
+    used = np.unique(tets)
+    remap = -np.ones(len(nodes), np.int64)
+    remap[used] = np.arange(len(used))
+    pts = nodes[used].astype(np.float32)
+    tet_arr = remap[tets].astype(np.int32)
+    tris = extract_surface(tet_arr, pts)
+    return TetMesh(
+        points=pts,
+        tets=tet_arr,
+        surface_tris=tris.astype(np.int32),
+        surface_verts=np.unique(tris).astype(np.int32),
+    )
+
+
 def extract_surface(tets: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Boundary faces (appearing once), oriented outward.
 
