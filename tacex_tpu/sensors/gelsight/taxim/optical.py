@@ -150,6 +150,7 @@ def shade(
     grad_mag: jax.Array,
     grad_dir: jax.Array,
     interp: str = "nearest",
+    lut_dtype=None,
 ) -> jax.Array:
     """Polynomial-LUT shading: gradients -> RGB delta over background.
 
@@ -160,6 +161,13 @@ def shade(
     ``interp='bilinear'`` interpolates the LUT over (magnitude, direction)
     bins — an extension beyond the reference that makes the optical model
     differentiable w.r.t. the height map (direction axis wraps periodically).
+    ``lut_dtype=jnp.bfloat16`` gathers narrower LUT rows: measured 14%
+    faster at 320x240 (223 vs 258 us/img — the gather is issue-bound, bf16
+    rows shave its bandwidth tail) at a max output error of 0.0099 (~2.5/255
+    image counts). The LUT itself cannot be replaced by any dense smooth fit:
+    a Chebyshev-x-Fourier least-squares over (mag, dir) plateaus at 0.09
+    worst-case coefficient error for ANY basis size (measured 2.4k..130k
+    params) — the per-bin calibration fits carry irreducible bin-level noise.
     """
     nb = calib.sensor_params.num_bins
     x_binr = 0.5 * jnp.pi / (nb - 1)
@@ -170,7 +178,12 @@ def shade(
     if interp == "nearest":
         idx_mag = jnp.clip(jnp.floor(grad_mag / x_binr).astype(jnp.int32), 0, nb - 1)
         idx_dir = jnp.clip(jnp.floor((grad_dir + jnp.pi) / y_binr).astype(jnp.int32), 0, nb - 1)
-        coeffs = jnp.take(calib.poly_lut_padded, idx_mag * nb + idx_dir, axis=0)[..., :18]
+        table = calib.poly_lut_padded
+        if lut_dtype is not None:
+            table = table.astype(lut_dtype)
+        coeffs = jnp.take(table, idx_mag * nb + idx_dir, axis=0)[..., :18].astype(
+            jnp.float32
+        )
         coeffs = coeffs.reshape(coeffs.shape[:-1] + (6, 3))
         return jnp.einsum("hwk,...hwkc->...hwc", feats, coeffs)
 
@@ -400,6 +413,7 @@ def render(
     with_shadow: bool = False,
     orig_hm_fmt: bool = False,
     interp: str = "nearest",
+    lut_dtype=None,
 ) -> jax.Array:
     """Render tactile RGB images from height maps.
 
@@ -431,7 +445,7 @@ def render(
     deformed, contact_mask = compute_gel_deformation(calib, hm)
     deformed_px = deformed / calib.sensor_params.pixmm
     grad_mag, grad_dir = generate_normals(calib, -deformed_px)
-    raw = shade(calib, grad_mag, grad_dir, interp=interp)  # (N, h, w, 3)
+    raw = shade(calib, grad_mag, grad_dir, interp=interp, lut_dtype=lut_dtype)  # (N, h, w, 3)
 
     if not with_shadow:
         img = jnp.clip(raw + calib.background, 0.0, 1.0)
