@@ -117,8 +117,16 @@ class GelSightSensor:
         state: GelSightSensorState,
         camera_depth_m: jax.Array,  # (N, h, w) meters
         obj_yaw: jax.Array | None = None,  # (N,) object yaw relative to sensor
+        obj_pos_mm: jax.Array | None = None,  # (N, 2) object xy in sensor frame (mm)
     ) -> tuple[GelSightSensorState, dict[str, jax.Array]]:
-        """One sensor frame. Pure; call under jit."""
+        """One sensor frame. Pure; call under jit.
+
+        ``obj_pos_mm`` selects the FrameTransformer FOTS variant (reference
+        FOTSMarkerFrameTransformerSimulator, fots_marker_sim_frame_
+        transformer.py:26-441): the marker-trajectory contact center comes
+        from the TRACKED OBJECT's pose in the sensor frame instead of the
+        contact-mask centroid — pose-driven shear/twist even when the mask
+        is ambiguous (flat or multi-lobed contacts)."""
         n = camera_depth_m.shape[0]
         out: dict[str, jax.Array] = {}
 
@@ -169,15 +177,19 @@ class GelSightSensor:
             mcfg = self.marker_cfg
             sx = mcfg.tactile_img_width / tw
             sy = mcfg.tactile_img_height / th
-            cnt = contact_mask.sum(axis=(-2, -1))
-            yy, xx = jnp.meshgrid(
-                jnp.arange(th, dtype=jnp.float32), jnp.arange(tw, dtype=jnp.float32), indexing="ij"
-            )
-            denom = jnp.maximum(cnt, 1)
-            cy = (contact_mask * yy).sum(axis=(-2, -1)) / denom * sy
-            cx = (contact_mask * xx).sum(axis=(-2, -1)) / denom * sx
-            cx_mm = (cx - mcfg.tactile_img_width / 2.0) / mcfg.mm_to_pixel
-            cy_mm = (cy - mcfg.tactile_img_height / 2.0) / mcfg.mm_to_pixel
+            if obj_pos_mm is not None:
+                cx_mm = obj_pos_mm[:, 0]
+                cy_mm = obj_pos_mm[:, 1]
+            else:
+                cnt = contact_mask.sum(axis=(-2, -1))
+                yy, xx = jnp.meshgrid(
+                    jnp.arange(th, dtype=jnp.float32), jnp.arange(tw, dtype=jnp.float32), indexing="ij"
+                )
+                denom = jnp.maximum(cnt, 1)
+                cy = (contact_mask * yy).sum(axis=(-2, -1)) / denom * sy
+                cx = (contact_mask * xx).sum(axis=(-2, -1)) / denom * sx
+                cx_mm = (cx - mcfg.tactile_img_width / 2.0) / mcfg.mm_to_pixel
+                cy_mm = (cy - mcfg.tactile_img_height / 2.0) / mcfg.mm_to_pixel
             theta = obj_yaw if obj_yaw is not None else jnp.zeros((n,), jnp.float32)
             sample = jnp.stack([cx_mm, cy_mm, theta], axis=-1)
 

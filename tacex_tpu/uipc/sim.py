@@ -140,6 +140,7 @@ class UipcSim:
         self._union_aim_objs: list[Any] = []
         self._abd_model = None
         self._abd_state = None
+        self._abd_aim_q = None
         self._abd_objs: list[Any] = []
         self._frames: dict[int, list[SoftBodyState]] = {}
         self._frame_counter = 0

@@ -125,3 +125,131 @@ class TestSanityAndHealth:
         obj.state = SoftBodyState(x=x, v=obj.state.v)
         with pytest.raises(FloatingPointError, match=r"envs \[1\]"):
             sim.check_health()
+
+
+class TestInteractiveScene:
+    """UipcInteractiveScene container (reference uipc_interactive_scene.py)."""
+
+    def test_build_update_reset_lookup(self):
+        import jax.numpy as jnp
+
+        from tacex_tpu.assets.robots import FRANKA_PANDA_ARM_SINGLE_GSMINI_UIPC_CFG
+        from tacex_tpu.sensors.gelsight.sensor_cfg import gelsight_mini_cfg
+        from tacex_tpu.uipc import (
+            RigidObjectCfg,
+            StableNeoHookeanCfg,
+            UipcInteractiveScene,
+            UipcInteractiveSceneCfg,
+            UipcObjectCfg,
+            UipcSimCfg,
+        )
+        from tacex_tpu.uipc.objects import TetMeshCfg
+
+        cfg = UipcInteractiveSceneCfg(
+            num_envs=2,
+            uipc_sim=UipcSimCfg(num_envs=2, dt=1 / 120, enable_ground=True),
+        )
+        scene = UipcInteractiveScene(cfg, entities={
+            "robot": FRANKA_PANDA_ARM_SINGLE_GSMINI_UIPC_CFG,
+            "gel": UipcObjectCfg(
+                mesh_cfg=TetMeshCfg(size=(0.02, 0.025, 0.0045), resolution=(4, 5, 2), center=(0, 0, 0.05)),
+                constitution=StableNeoHookeanCfg(),
+            ),
+            "ball": RigidObjectCfg(shape="sphere", size=(0.005,), init_pos=(0, 0, 0.03)),
+            "gsmini": gelsight_mini_cfg(camera_resolution=(32, 24)),
+        })
+        scene.setup()
+        assert sorted(scene.keys()) == ["ball", "gel", "gsmini", "robot"]
+        z0 = float(scene["gel"].root_pos_w[0, 2])
+        for _ in range(4):
+            scene.update()
+        assert float(scene["gel"].root_pos_w[0, 2]) < z0  # gel fell a bit
+        assert scene["robot"].joint_pos.shape == (2, 9)
+        scene.reset()
+        import numpy as np
+        assert np.allclose(np.asarray(scene["ball"].pos[0]), [0, 0, 0.03])
+        import pytest
+        with pytest.raises(KeyError):
+            scene["nope"]
+
+
+class TestFemGeometry:
+    """fem geometry utils (reference fem_based/sim/utils/geometry.py)."""
+
+    def test_estimate_rigid_transform(self):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from tacex_tpu.sensors.gelsight.fem.geometry import (
+            estimate_rigid_transform, transform_pts,
+        )
+
+        rng = np.random.default_rng(0)
+        src = jnp.asarray(rng.normal(size=(12, 3)).astype(np.float32))
+        ang = 0.7
+        R_true = jnp.asarray(
+            np.array([
+                [np.cos(ang), -np.sin(ang), 0],
+                [np.sin(ang), np.cos(ang), 0],
+                [0, 0, 1],
+            ], np.float32)
+        )
+        t_true = jnp.asarray(np.array([0.1, -0.2, 0.05], np.float32))
+        dst = transform_pts(src, R_true, t_true)
+        R, t = estimate_rigid_transform(src, dst)
+        assert np.abs(np.asarray(R - R_true)).max() < 1e-4
+        assert np.abs(np.asarray(t - t_true)).max() < 1e-4
+
+    def test_in_hull_and_polygon(self):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from tacex_tpu.sensors.gelsight.fem.geometry import in_hull, points_in_polygon
+
+        hull = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+        pts = np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9]])
+        m = in_hull(pts, hull)
+        assert m.tolist() == [True, False]
+
+        poly = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        q = jnp.array([[0.5, 0.5], [1.5, 0.5], [0.01, 0.99]])
+        inside = points_in_polygon(q, poly)
+        assert np.asarray(inside).tolist() == [True, False, True]
+
+
+class TestFotsPoseDrivenCenter:
+    """FrameTransformer FOTS variant: contact center from object pose."""
+
+    def test_pose_center_changes_markers(self):
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from tacex_tpu.sensors.gelsight.sensor import GelSightSensor
+        from tacex_tpu.sensors.gelsight.sensor_cfg import gelsight_mini_cfg
+
+        sensor = GelSightSensor(gelsight_mini_cfg(camera_resolution=(64, 48)), num_envs=1)
+        h, w = 48, 64
+        yy, xx = np.meshgrid(np.arange(h, dtype=np.float32), np.arange(w, dtype=np.float32), indexing="ij")
+        r = np.sqrt((yy - 24) ** 2 + (xx - 32) ** 2) * 0.3
+        z = np.where(r < 3, 3 - np.sqrt(np.maximum(9 - r * r, 0.0)), 3.0)
+        depth = jnp.asarray((0.0285 + (z - z.min()) / 1000.0 - 0.0015)[None].astype(np.float32))
+        update = jax.jit(sensor.update)
+
+        def run(pos):
+            st = sensor.init_state()
+            flows = None
+            for k in range(3):
+                # drift the commanded center so the traj has shear
+                p = pos + jnp.asarray([0.4 * k, 0.0])
+                st, out = update(st, depth, obj_pos_mm=p[None])
+                flows = out["marker_motion"]
+            return np.asarray(flows)
+
+        fa = run(jnp.asarray([0.0, 0.0]))
+        fb = run(jnp.asarray([3.0, 2.0]))
+        # same depth, different pose-driven center -> different marker field
+        assert np.abs(fa - fb).max() > 1e-4
