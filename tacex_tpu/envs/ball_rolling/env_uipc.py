@@ -59,6 +59,20 @@ class BallRollingUipcEnvCfg(BallRollingEnvCfg):
     # the two-way coupling's observable)
     gel_youngs_modulus_pa: float = 1.45e5
     gel_poisson_ratio: float = 0.45
+    # gel mesh density: named presets mirror the reference's gelpad USD
+    # variants Gelpad_{low,mid,extremely_high}_res (SURVEY §2.3). The tactile
+    # depth grid is (ny+1, nx+1) vertices resized to the sensor image, so
+    # higher presets matter for 320x240-class sensor output / marker-flow
+    # fidelity; "low" is plenty for 32x24 RL observations.
+    gel_resolution: str | tuple = "low"
+
+
+GEL_RESOLUTION_PRESETS: dict[str, tuple] = {
+    "low": (8, 10, 2),
+    "mid": (16, 20, 3),
+    "high": (24, 30, 4),
+    "extremely_high": (40, 50, 5),
+}
 
 
 @jax.tree_util.register_dataclass
@@ -76,12 +90,15 @@ class BallRollingUipcEnv(BallRollingEnv):
             cfg = BallRollingEnvCfg(num_envs=16, obs_mode="rgb", with_markers=False)
         super().__init__(cfg)
         d = _UipcCfgDefaults()
+        res = getattr(cfg, "gel_resolution", d.gel_resolution)
+        if isinstance(res, str):
+            res = GEL_RESOLUTION_PRESETS[res]
         gel_size = (2 * GELPAD_HALF[0], 2 * GELPAD_HALF[1], 2 * GELPAD_HALF[2])
         # gel mesh in TOOL frame: the tool point is the gel CONTACT surface
         # (reference ee offset (0,0,0.131) reaches the gelpad outer face), so
         # the contact face sits at z=0 and the mount face at z=-gel_height.
         self.gel_mesh = box_tet_mesh(
-            gel_size, d.gel_resolution, center=(0.0, 0.0, -GELPAD_HALF[2])
+            gel_size, res, center=(0.0, 0.0, -GELPAD_HALF[2])
         )
         top = np.where(self.gel_mesh.points[:, 2] < -gel_size[2] + 1e-9)[0].astype(np.int32)
         solver_cfg = IpcSolverCfg(
@@ -102,7 +119,7 @@ class BallRollingUipcEnv(BallRollingEnv):
         self._gel_rest_points = jnp.asarray(self.gel_mesh.points)
 
         # contact-face verts form a regular (ny+1, nx+1) grid -> depth image
-        nx, ny, _ = d.gel_resolution
+        nx, ny, _ = res
         contact_ids = np.where(np.abs(self.gel_mesh.points[:, 2]) < 1e-9)[0]
         pts = self.gel_mesh.points[contact_ids]
         order = np.lexsort((pts[:, 0], pts[:, 1]))  # row-major: y rows, x cols

@@ -84,6 +84,15 @@ class TestCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         assert "ball lifted" in r.stdout
 
+    def test_pick_up_uipc_demo(self):
+        """FEM-gel grasp: two soft pads lift the ball (two-way coupling)."""
+        r = _run(
+            ["scripts/demos/pick_up/pick_up_uipc.py", "--steps_per_phase", "100"],
+            timeout=1500,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "ball lifted" in r.stdout
+
     def test_mani_skill_marker_demo(self):
         r = _run(["scripts/demos/check_mani_skill_marker.py", "--steps", "4"], timeout=600)
         assert r.returncode == 0, r.stderr[-2000:]

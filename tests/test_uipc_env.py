@@ -115,3 +115,29 @@ class TestTwoWayCoupling:
         f = np.asarray(env.gel.sphere_contact_force(state.gel, scene)[:, 0])
         assert np.abs(f).max() > 1e-4, "no barrier reaction while in contact"
         assert f[:, 2].max() < 1e-6, f"gel above the ball must push it down: {f}"
+
+
+class TestGelResolutionPresets:
+    """Reference gelpad USD variants Gelpad_{low,mid,extremely_high}_res."""
+
+    def test_mid_res_env_steps(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tacex_tpu.envs.ball_rolling.env_uipc import (
+            GEL_RESOLUTION_PRESETS, BallRollingUipcEnv, BallRollingUipcEnvCfg,
+        )
+
+        assert set(GEL_RESOLUTION_PRESETS) == {"low", "mid", "high", "extremely_high"}
+        cfg = BallRollingUipcEnvCfg(
+            num_envs=2, obs_mode="rgb", with_markers=False, gel_resolution="mid"
+        )
+        env = BallRollingUipcEnv(cfg)
+        # mid preset refines the contact-face grid in both directions
+        assert env._contact_grid_ids.shape == (21, 17)
+        st = env.init_state(jax.random.PRNGKey(0))
+        st, obs = env.reset_all(st)
+        st, obs, r, te, tr, info = jax.jit(env.step)(
+            st, jnp.zeros((2, env.cfg.action_space))
+        )
+        assert bool(jnp.isfinite(obs["vision_obs"]).all())
