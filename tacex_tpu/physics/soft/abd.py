@@ -42,7 +42,12 @@ import jax.numpy as jnp
 
 from ...core.config import configclass
 from ...ops import sdf as sdf_ops
-from .ipc import RigidSdfScene, _point_triangle_distance, _segment_crosses_triangle
+from .ipc import (
+    RigidSdfScene,
+    _point_triangle_closest,
+    _point_triangle_distance,
+    _segment_crosses_triangle,
+)
 
 
 @configclass
@@ -252,9 +257,18 @@ class AbdModel:
             x[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
         )
 
+    def _pair_closest(self, x: jax.Array, cand: jax.Array):
+        """(distances (Vt, K), closest points (Vt, K, 3)) for candidates."""
+        tri = x[self.tris[cand]]
+        qp = _point_triangle_closest(
+            x[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+        )
+        d = jnp.sqrt(((x[:, None, :] - qp) ** 2).sum(-1) + 1e-18)
+        return d, qp
+
     def _energy(
         self, q, q_tilde, scene, aim_q, aim_strength, x_prev, friction_basis, cand,
-        friction_quad: bool = False,
+        pair_friction=None,
     ):
         c = self.cfg
         dq = q - q_tilde
@@ -268,11 +282,20 @@ class AbdModel:
             d_vt = self._pair_distances(x, ci)
             d_vt = jnp.where(valid, d_vt, 10.0 * c.d_hat)
             contact = contact + self._barrier(d_vt)
-        # soft transform / motor constraints (mass-weighted quadratic)
+        # soft transform / motor constraints: diagonal mass-scaled quadratic
+        # with PER-DOF strengths (B, 12). A RotatingMotor constrains only the
+        # rotational DOFs (a-rows) and leaves translation free — that is how
+        # a motor-driven screw can advance axially through thread contact
+        # (libuipc RotatingMotor semantics, 8_screw_and_nut.py:81). The
+        # diagonal form keeps the penalty PSD for any nonuniform weights.
         dqa = q - aim_q
-        constr = 0.5 * jnp.sum(
-            aim_strength[:, None] * dqa * jnp.einsum("bij,bj->bi", self.mass, dqa)
-        ) / c.dt**2
+        # weight every DOF by the body MASS (reference convention: constraint
+        # strength is a ratio of object mass, uipc_attachments.py:36-66). The
+        # second-moment diagonal would under-weight the affine DOFs of small
+        # bodies by r^2 (~1e-5 for mm-scale parts) and make motors powerless
+        # against contact friction.
+        m_body = self.mass[:, 0, 0][:, None]  # (B, 1)
+        constr = 0.5 * jnp.sum(aim_strength * m_body * dqa * dqa) / c.dt**2
         friction = 0.0
         if friction_basis is not None:
             lam_n, n_dir = friction_basis
@@ -280,28 +303,41 @@ class AbdModel:
             du_t = du - jnp.sum(du * n_dir, -1, keepdims=True) * n_dir
             s = jnp.sum(du_t**2, -1)
             eps = c.eps_velocity * c.dt
-            if friction_quad:
-                # Polynomial surrogate for the HESSIAN pass only: equal to
-                # the true mollifier (value, gradient, curvature) at the
-                # zero-slip point every Newton solve starts from. Any
-                # formulation of the |u_t| mollifier that contains a sqrt
-                # NaNs under jax.hessian in f32 on resting contacts (the
-                # reverse-over-forward transpose of the normal-projection
-                # chain emits inf*0 terms along the contact-normal DOFs —
-                # verified: same expression is finite in f64), so the Newton
-                # direction uses this quadratic model instead; gradient and
-                # line-search energies use the true mollifier below.
-                f0 = s / (2 * eps) + eps / 2
-            else:
-                # True IPC mollifier (quadratic near 0, |u_t| beyond eps),
-                # in s = |du_t|^2 with a clamped sqrt argument: value and
-                # first derivative are f32-safe everywhere.
-                f0 = jnp.where(
-                    s < eps * eps,
-                    s / (2 * eps) + eps / 2,
-                    jnp.sqrt(jnp.maximum(s, eps * eps)),
-                )
+            # True IPC mollifier (quadratic near 0, |u_t| beyond eps), in
+            # s = |du_t|^2 with a clamped sqrt argument: finite value, first
+            # AND second derivatives everywhere in f32. It must be used for
+            # the Hessian too — an unbounded quadratic surrogate makes the
+            # Newton model's stick stiffness grow without limit along slip
+            # directions and rigid bodies jam solid against any contact.
+            f0 = jnp.where(
+                s < eps * eps,
+                s / (2 * eps) + eps / 2,
+                jnp.sqrt(jnp.maximum(s, eps * eps)),
+            )
             friction = c.friction_mu * jnp.sum(lam_n * f0)
+        if pair_friction is not None:
+            # body-body Coulomb friction, lagged like the scene term: the
+            # slip at a contact is the RELATIVE displacement of the vertex
+            # and the other body's material point at the (frozen) closest
+            # location — evaluated through that body's affine DOFs, so no
+            # barycentric bookkeeping is needed.
+            lam_p, n_p, q_p0, p_local, tb, valid_p = pair_friction
+            A, t = q_to_affine(q)
+            x = self.world_points(q)
+            disp_v = x - x_prev  # (Vt, 3)
+            q_new = jnp.einsum("vkij,vkj->vki", A[tb], p_local) + t[tb]
+            rel = disp_v[:, None, :] - (q_new - q_p0)
+            rel_t = rel - jnp.sum(rel * n_p, -1, keepdims=True) * n_p
+            s_p = jnp.sum(rel_t**2, -1)
+            eps = c.eps_velocity * c.dt
+            f0p = jnp.where(
+                s_p < eps * eps,
+                s_p / (2 * eps) + eps / 2,
+                jnp.sqrt(jnp.maximum(s_p, eps * eps)),
+            )
+            friction = friction + c.friction_mu * jnp.sum(
+                jnp.where(valid_p, lam_p * f0p, 0.0)
+            )
         return inertia + ortho + contact + constr + friction
 
     # ------------------------------------------------------------- single env
@@ -327,14 +363,32 @@ class AbdModel:
         friction_basis = (lam_n, n_dir) if c.friction_mu > 0 else None
         cand = self._select_candidates(x0) if c.contact_k > 0 else None
 
+        pair_friction = None
+        if cand is not None and c.friction_mu > 0:
+            ci, valid = cand
+            d_p, q_p = self._pair_closest(x0, ci)
+            d_ps = jnp.clip(d_p, 1e-9, dh)
+            lam_p = jnp.where(
+                valid & (d_p < dh),
+                c.kappa_contact
+                * jnp.abs(
+                    2.0 * (d_ps - dh) * jnp.log(d_ps / dh) + (d_ps - dh) ** 2 / d_ps
+                ),
+                0.0,
+            )
+            n_p = (x0[:, None, :] - q_p) / jnp.maximum(d_p, 1e-9)[..., None]
+            A0, t0 = q_to_affine(q)
+            A0_inv = jnp.linalg.inv(A0)
+            tb = self.tri_body[ci]  # (Vt, K)
+            p_local = jnp.einsum("vkij,vkj->vki", A0_inv[tb], q_p - t0[tb])
+            pair_friction = (lam_p, n_p, q_p, p_local, tb, valid)
+
         B = self.num_bodies
         energy_flat = lambda qf: self._energy(
-            qf.reshape(B, 12), q_tilde, scene, aim_q, aim_strength, x0, friction_basis, cand
-        )
-        energy_hess = lambda qf: self._energy(
             qf.reshape(B, 12), q_tilde, scene, aim_q, aim_strength, x0, friction_basis,
-            cand, friction_quad=True,
+            cand, pair_friction,
         )
+
 
         # no-worsening floor when the step starts penetrated by a moved
         # kinematic collider (see ipc._step_single d_floor rationale)
@@ -361,12 +415,17 @@ class AbdModel:
         def newton_iter(_, carry):
             qf, done = carry
             grad = jax.grad(energy_flat)(qf)
-            H = jax.hessian(energy_hess)(qf)
-            # PSD-ify: Tikhonov shift by the most-negative eigenvalue proxy
-            # (Gershgorin bound is over-conservative; a fixed mass-scaled
-            # floor + retry-free line search is robust at these sizes)
-            reg = c.hessian_reg * (1.0 + jnp.abs(jnp.diagonal(H)).max())
-            Hr = H + reg * jnp.eye(12 * B)
+            H = jax.hessian(energy_flat)(qf)
+            # PSD-ify with a PER-DOF relative Tikhonov shift. A max-diagonal
+            # scaled identity (reg * maxdiag * I) looks harmless but is not:
+            # when stiff barrier contacts push diagonal entries to ~1e10, a
+            # uniform shift of 1e4 swamps the SOFT directions (the coupled
+            # rotation+advance subspace of a motor-driven screw is ~1e1) and
+            # the Newton step collapses to zero there — the body jams solid
+            # against any contact. Shifting each DOF relative to its own
+            # curvature preserves the soft subspace.
+            diag = jnp.abs(jnp.diagonal(H))
+            Hr = H + jnp.diag(c.hessian_reg * (1.0 + diag)) + 1e-9 * jnp.eye(12 * B)
             p = -jnp.linalg.solve(Hr, grad)
             descent = jnp.sum(p * grad) < 0
             p = jnp.where(descent, p, -grad / (1.0 + jnp.linalg.norm(grad)))
@@ -398,13 +457,15 @@ class AbdModel:
         state: AbdState,
         scene: RigidSdfScene,
         aim_q: jax.Array | None = None,  # (N, B, 12) constraint targets
-        aim_strength: jax.Array | None = None,  # (N, B) 0 = unconstrained
+        aim_strength: jax.Array | None = None,  # (N, B) or (N, B, 12); 0 = free
     ) -> AbdState:
         n, B = state.q.shape[:2]
         if aim_q is None:
             aim_q = state.q
         if aim_strength is None:
-            aim_strength = jnp.zeros((n, B))
+            aim_strength = jnp.zeros((n, B, 12))
+        elif aim_strength.ndim == 2:
+            aim_strength = jnp.broadcast_to(aim_strength[..., None], (n, B, 12))
 
         def one(q, qd, sph, box, cap, pl, aq, astr):
             sc = RigidSdfScene(sph, box, cap, pl)

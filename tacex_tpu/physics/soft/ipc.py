@@ -44,13 +44,9 @@ from .fem import lame_params, lumped_masses, precompute_rest, stable_neo_hookean
 from .mesh import TetMesh
 
 
-def _point_triangle_distance(p, a, b, c):
-    """Unsigned distance point->triangle, broadcast over leading dims.
-
-    Closest-point-on-triangle via clamped barycentrics (Ericson RTCD 5.1.5),
-    written as a jnp.where cascade; eps-padded sqrt keeps autodiff finite at
-    the (never active in practice) zero-distance point.
-    """
+def _point_triangle_closest(p, a, b, c):
+    """Closest point on triangle (a,b,c) to p, broadcast over leading dims
+    (Ericson RTCD 5.1.5 as a jnp.where cascade)."""
     ab, ac, ap = b - a, c - a, p - a
 
     def dot(u, v):
@@ -96,6 +92,13 @@ def _point_triangle_distance(p, a, b, c):
     q = jnp.where(at_c[..., None], c, q)
     q = jnp.where(at_b[..., None], b, q)
     q = jnp.where(at_a[..., None], a, q)
+    return q
+
+
+def _point_triangle_distance(p, a, b, c):
+    """Unsigned distance point->triangle; eps-padded sqrt keeps autodiff
+    finite at the (never active in practice) zero-distance point."""
+    q = _point_triangle_closest(p, a, b, c)
     return jnp.sqrt(((p - q) ** 2).sum(-1) + 1e-18)
 
 

@@ -242,13 +242,19 @@ class UipcSim:
         # constraint strengths: kinematic bodies are held at their initial
         # pose (libuipc builtin.is_fixed); others per set_transform_target /
         # set_rotating_motor
-        strengths = np.zeros(len(abd_objs), np.float32)
+        strengths = np.zeros((len(abd_objs), 12), np.float32)
         for i, obj in enumerate(abd_objs):
             if obj.cfg.constitution.kinematic:
-                strengths[i] = 1e4
+                strengths[i, :] = 1e4
+            elif obj._abd_motor is not None:
+                # RotatingMotor constrains only the rotational DOFs
+                # (a-rows); translation stays free (8_screw_and_nut.py:81)
+                strengths[i, 3:] = obj._abd_aim_strength
             elif obj._abd_aim_strength > 0:
-                strengths[i] = obj._abd_aim_strength
-        self._abd_strength = jnp.broadcast_to(jnp.asarray(strengths), (n, len(abd_objs)))
+                strengths[i, :] = obj._abd_aim_strength
+        self._abd_strength = jnp.broadcast_to(
+            jnp.asarray(strengths), (n, len(abd_objs), 12)
+        )
         self._abd_aim_q = self._abd_state.q
         self._abd_step_fn = jax.jit(self._abd_model.step)
 

@@ -22,6 +22,8 @@ EXAMPLES = [
     "examples/libuipc_samples/walking_cube.py",
     "examples/libuipc_samples/wrecking_balls.py",
     "examples/libuipc_samples/bunny_cloth.py",
+    "examples/libuipc_samples/floating_cube.py",
+    "examples/libuipc_samples/screw_and_nut.py",
 ]
 
 
