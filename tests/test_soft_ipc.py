@@ -202,3 +202,50 @@ class TestHertzContact:
         # deeper press -> more verts in contact (radius itself is quantized
         # by the ~2 mm vertex pitch, so count is the finer monotone signal)
         assert radii[1][1] > radii[0][1], radii
+
+
+class TestDiffSim:
+    """Differentiable simulation (reference UipcSimCfg.diff_sim role): the
+    whole implicit solve is autodiff-able — gradients of the solved state
+    w.r.t. scene parameters match finite differences."""
+
+    def test_gradient_matches_finite_difference(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tacex_tpu.physics.soft.ipc import (
+            IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState,
+        )
+        from tacex_tpu.physics.soft.mesh import box_tet_mesh
+
+        mesh = box_tet_mesh((0.02, 0.02, 0.008), (4, 4, 2), center=(0, 0, -0.004))
+        mount = np.where(mesh.points[:, 2] < -0.008 + 1e-9)[0].astype(np.int32)
+        gel = SoftBodyModel(
+            mesh, youngs_modulus=1e5,
+            cfg=IpcSolverCfg(dt=1 / 60, newton_max_iter=3, cg_iters=12, d_hat=5e-4, kappa=2e4),
+            attachment_verts=mount,
+        )
+        rest = jnp.asarray(mesh.points)
+
+        def loss(ball_z):
+            sph = jnp.stack(
+                [jnp.zeros(()), jnp.zeros(()), ball_z, jnp.full((), 0.004)]
+            )[None, None, :]
+            scene = RigidSdfScene(
+                sph, jnp.zeros((1, 1, 10)), jnp.zeros((1, 1, 8)), jnp.zeros((1, 1, 4))
+            )
+            st = SoftBodyState.init(1, mesh.points)
+            aim = jnp.asarray(mesh.points[mount])[None]
+            for _ in range(3):
+                st = gel.step(st, scene, aim)
+            return jnp.sum((st.x[0] - rest) ** 2)
+
+        z = jnp.asarray(0.003)
+        g = float(jax.grad(loss)(z))
+        h = 2e-5
+        fd = (float(loss(z + h)) - float(loss(z - h))) / (2 * h)
+        # the solve has piecewise structure (barrier activation, line-search
+        # branching), so demand sign + order-of-magnitude agreement
+        assert np.isfinite(g)
+        assert g < 0 and fd < 0, (g, fd)
+        assert 0.2 < g / fd < 5.0, (g, fd)
