@@ -63,6 +63,13 @@ class AbdSolverCfg:
     eps_velocity: float = 0.01
     contact_k: int = 8  # body-body candidate triangles per surface vertex (0 = off)
     hessian_reg: float = 1e-6  # Tikhonov floor for the dense Newton solve
+    # assemble the Newton Hessian analytically (J^T G J structure, see
+    # _assemble_hessian) instead of jax.hessian. Verified identical to 1e-7;
+    # MEASURED SLOWER at sample-scene sizes (28.6 vs 18.2 ms/step for a
+    # 12-body pile on v5e: the fused 144-tangent autodiff Hessian
+    # vectorizes better than many small per-pair Hessians), so default off;
+    # the crossover would need far more bodies than vertices per body.
+    analytic_hessian: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -340,6 +347,187 @@ class AbdModel:
             )
         return inertia + ortho + contact + constr + friction
 
+    def _barrier_scalar(self, d):
+        """Per-distance barrier value (same formula as _barrier, unsummed)."""
+        dh = self.cfg.d_hat
+        d0 = 0.1 * dh
+        d_c = jnp.clip(d, d0, dh)
+        active = d < dh
+        b_core = -self.cfg.kappa_contact * (d_c - dh) ** 2 * jnp.log(d_c / dh)
+        lg = math.log(d0 / dh)
+        b_d0 = -self.cfg.kappa_contact * (d0 - dh) ** 2 * lg
+        db_d0 = -self.cfg.kappa_contact * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
+        d2b_d0 = -self.cfg.kappa_contact * (
+            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
+        )
+        dd = d - d0
+        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
+        return jnp.where(active, b, 0.0)
+
+    def _point_jacobians(self) -> jax.Array:
+        """J_v = dx_v/dq_b (Vt, 3, 12): x = A p + t is linear in q, so the
+        Jacobian is a CONSTANT sparse pattern [I | p1 I | p2 I | p3 I]
+        (row-of-A layout). Cached on first use."""
+        if not hasattr(self, "_J_pts"):
+            V = self.pts.shape[0]
+            J = np.zeros((V, 3, 12), np.float32)
+            p = np.asarray(self.pts)
+            for i in range(3):
+                J[:, i, i] = 1.0
+                J[:, i, 3 + 3 * i : 6 + 3 * i] = p
+            self._J_pts = jnp.asarray(J)
+        return self._J_pts
+
+    def _assemble_hessian(
+        self, q, q_tilde, scene, aim_strength, x_prev, friction_basis, cand, pair_friction
+    ) -> jax.Array:
+        """Analytic (12B, 12B) Hessian of the incremental potential.
+
+        jax.hessian of the full energy is forward-over-reverse with 12B
+        tangents, each replaying the whole energy graph. But x = A p + t is
+        LINEAR in q, so every energy term's q-Hessian is J^T G J with a
+        constant per-point Jacobian J and a SMALL point-space Hessian G
+        (3x3 per vertex term, 12x12 per vertex-triangle pair) — each from
+        jax.hessian over a tiny closure with 3..15 tangents. All
+        contributions are accumulated SCATTER-FREE: 12x12 blocks
+        segment-summed by (row body, col body) into a (B, B, 12, 12) grid
+        and reshaped (TPU scatters at ~6.5 ns/element would dominate the
+        whole step otherwise).
+        """
+        c = self.cfg
+        B = self.num_bodies
+        J = self._point_jacobians()  # (Vt, 3, 12)
+        x = self.world_points(q)
+
+        blocks = []  # list of ((n, 12, 12) contributions, (n,) segment ids rb*B+cb)
+        diag_ids = jnp.arange(B) * B + jnp.arange(B)
+
+        # 1. inertia + 3. ortho (block diagonal)
+        def ortho_b(a_flat, kap):
+            A = a_flat.reshape(3, 3)
+            R = A.T @ A - jnp.eye(3)
+            return kap * jnp.sum(R * R)
+
+        Ho9 = jax.vmap(jax.hessian(ortho_b))(q[:, 3:].reshape(B, 9), self.kappa_ortho)
+        Hd = self.mass / c.dt**2
+        Hd = Hd.at[:, 3:, 3:].add(Ho9)
+        # 2. constraints (diagonal per DOF)
+        m_body = self.mass[:, 0, 0][:, None]
+        Hd = Hd + jax.vmap(jnp.diag)(aim_strength * m_body / c.dt**2)
+
+        # 4. scene contact + scene friction: per-vertex 3x3 point Hessians
+        def phi_scene(p):
+            d = sdf_ops.scene_sdf(
+                p[None], scene.spheres, scene.boxes, scene.capsules, scene.planes
+            )[0]
+            return self._barrier_scalar(d)
+
+        G_c = jax.vmap(jax.hessian(phi_scene))(x)  # (Vt, 3, 3)
+        if friction_basis is not None:
+            lam_n, n_dir = friction_basis
+            eps = c.eps_velocity * c.dt
+
+            def phi_fric(p, p0, n, lam):
+                du = p - p0
+                du_t = du - jnp.dot(du, n) * n
+                s = jnp.sum(du_t**2)
+                f0 = jnp.where(
+                    s < eps * eps,
+                    s / (2 * eps) + eps / 2,
+                    jnp.sqrt(jnp.maximum(s, eps * eps)),
+                )
+                return c.friction_mu * lam * f0
+
+            G_c = G_c + jax.vmap(jax.hessian(phi_fric))(x, x_prev, n_dir, lam_n)
+        Hb_c = jnp.einsum("vai,vab,vbj->vij", J, G_c, J)  # (Vt, 12, 12)
+        Hd = Hd + jax.ops.segment_sum(Hb_c, self.vert_body, num_segments=B)
+        blocks.append((Hd.reshape(B, 144), diag_ids))
+
+        # 5. pair contact: per-(vertex, candidate) 12-point-coordinate Hessian
+        if cand is not None:
+            ci, valid = cand
+            K = ci.shape[1]
+            tri_ids = self.tris[ci]  # (Vt, K, 3)
+
+            def psi(pts4):
+                d = _point_triangle_distance(pts4[0], pts4[1], pts4[2], pts4[3])
+                return self._barrier_scalar(d)
+
+            pts4 = jnp.concatenate(
+                [x[:, None, None, :].repeat(K, 1), x[tri_ids]], axis=2
+            )
+            G12 = jax.vmap(jax.vmap(jax.hessian(psi)))(pts4)  # (Vt, K, 4, 3, 4, 3)
+            G12 = jnp.where(valid[:, :, None, None, None, None], G12, 0.0)
+            J4 = jnp.stack(
+                [
+                    jnp.broadcast_to(J[:, None], (J.shape[0], K, 3, 12)),
+                    J[tri_ids[..., 0]],
+                    J[tri_ids[..., 1]],
+                    J[tri_ids[..., 2]],
+                ],
+                axis=2,
+            )  # (Vt, K, 4, 3, 12)
+            bodies4 = jnp.stack(
+                [
+                    jnp.broadcast_to(self.vert_body[:, None], ci.shape),
+                    self.tri_body[ci],
+                    self.tri_body[ci],
+                    self.tri_body[ci],
+                ],
+                axis=2,
+            )  # (Vt, K, 4)
+            Hmn = jnp.einsum("vkmai,vkmanb,vknbj->vkmnij", J4, G12, J4)
+            ids = bodies4[..., :, None] * B + bodies4[..., None, :]
+            blocks.append((Hmn.reshape(-1, 144), ids.reshape(-1)))
+
+        # 6. pair friction: function of (x_v, q_B) — 15-input Hessian
+        if pair_friction is not None:
+            lam_p, n_p, q_p0, p_local, tb, valid_p = pair_friction
+            eps = c.eps_velocity * c.dt
+
+            def chi(z, pv0, n, lam, pl, qp0):
+                pv, qB = z[:3], z[3:]
+                A_B = qB[3:].reshape(3, 3)
+                moved = A_B @ pl + qB[:3]
+                rel = (pv - pv0) - (moved - qp0)
+                rel_t = rel - jnp.dot(rel, n) * n
+                s = jnp.sum(rel_t**2)
+                f0 = jnp.where(
+                    s < eps * eps,
+                    s / (2 * eps) + eps / 2,
+                    jnp.sqrt(jnp.maximum(s, eps * eps)),
+                )
+                return c.friction_mu * lam * f0
+
+            K = tb.shape[1]
+            z_all = jnp.concatenate(
+                [jnp.broadcast_to(x[:, None, :], (x.shape[0], K, 3)), q[tb]], axis=-1
+            )
+            Hp15 = jax.vmap(jax.vmap(jax.hessian(chi)))(
+                z_all,
+                jnp.broadcast_to(x_prev[:, None, :], (x.shape[0], K, 3)),
+                n_p, lam_p, p_local, q_p0,
+            )  # (Vt, K, 15, 15)
+            Hp15 = jnp.where(valid_p[:, :, None, None], Hp15, 0.0)
+            Jv = jnp.broadcast_to(J[:, None], (J.shape[0], K, 3, 12))
+            Hvv = jnp.einsum("vkai,vkab,vkbj->vkij", Jv, Hp15[..., :3, :3], Jv)
+            Hvq = jnp.einsum("vkai,vkaj->vkij", Jv, Hp15[..., :3, 3:])
+            Hqq = Hp15[..., 3:, 3:]
+            bv = jnp.broadcast_to(self.vert_body[:, None], tb.shape)
+            contrib = jnp.stack(
+                [Hvv, Hvq, jnp.swapaxes(Hvq, -1, -2), Hqq], axis=2
+            )  # (Vt, K, 4, 12, 12)
+            ids = jnp.stack(
+                [bv * B + bv, bv * B + tb, tb * B + bv, tb * B + tb], axis=2
+            )
+            blocks.append((contrib.reshape(-1, 144), ids.reshape(-1)))
+
+        all_contrib = jnp.concatenate([b[0] for b in blocks])
+        all_ids = jnp.concatenate([b[1] for b in blocks])
+        grid = jax.ops.segment_sum(all_contrib, all_ids, num_segments=B * B)
+        H = grid.reshape(B, B, 12, 12).transpose(0, 2, 1, 3).reshape(12 * B, 12 * B)
+        return H
+
     # ------------------------------------------------------------- single env
     def _step_single(self, q, qd, scene, aim_q, aim_strength):
         c = self.cfg
@@ -415,7 +603,13 @@ class AbdModel:
         def newton_iter(_, carry):
             qf, done = carry
             grad = jax.grad(energy_flat)(qf)
-            H = jax.hessian(energy_flat)(qf)
+            if c.analytic_hessian:
+                H = self._assemble_hessian(
+                    qf.reshape(B, 12), q_tilde, scene, aim_strength, x0,
+                    friction_basis, cand, pair_friction,
+                )
+            else:
+                H = jax.hessian(energy_flat)(qf)
             # PSD-ify with a PER-DOF relative Tikhonov shift. A max-diagonal
             # scaled identity (reg * maxdiag * I) looks harmless but is not:
             # when stiff barrier contacts push diagonal entries to ~1e10, a

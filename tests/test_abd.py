@@ -171,3 +171,72 @@ class TestAbd:
         z = np.asarray(st.q[:, 0, 2])
         assert z[0] < 0.06  # already landed
         assert z[1] > z[0] + 0.01  # still falling — envs independent
+
+
+class TestAnalyticHessian:
+    """The scatter-free J^T G J Hessian assembly must equal jax.hessian."""
+
+    def test_matches_autodiff(self):
+        from tacex_tpu.assets.meshes import box_mesh, icosphere, weld_soup
+        from tacex_tpu.physics.soft.abd import q_to_affine
+        from tacex_tpu.ops import sdf as sdf_ops
+
+        p1, t1 = weld_soup(box_mesh(0.05, 0.05, 0.05))
+        p2, t2 = weld_soup(icosphere(0.05, 1))
+        model = AbdModel(
+            [p1 + np.array([0, 0, 0.0502]), p2 + np.array([0.01, 0.005, 0.152])],
+            [t1, t2],
+            cfg=AbdSolverCfg(contact_k=8, friction_mu=0.5, d_hat=0.002),
+        )
+        sc = RigidSdfScene.empty(1)
+        scene1 = RigidSdfScene(
+            sc.spheres[0], sc.boxes[0], sc.capsules[0],
+            sc.planes[0].at[0].set(jnp.array([0.0, 0, 1, 0])),
+        )
+        rng = np.random.default_rng(0)
+        q = AbdState.identity(1, 2).q[0] + jnp.asarray(
+            rng.normal(scale=1e-3, size=(2, 12)).astype(np.float32)
+        )
+        c = model.cfg
+        x0 = model.world_points(q)
+        sdf_fn = lambda p: sdf_ops.scene_sdf(
+            p, scene1.spheres, scene1.boxes, scene1.capsules, scene1.planes
+        )
+        d0 = sdf_fn(x0)
+        n_dir = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(x0)
+        n_dir = n_dir / jnp.maximum(jnp.linalg.norm(n_dir, axis=-1, keepdims=True), 1e-9)
+        dh = c.d_hat
+        d0s = jnp.clip(d0, 1e-9, dh)
+        lam = jnp.where(
+            d0 < dh,
+            c.kappa_contact
+            * jnp.abs(2 * (d0s - dh) * jnp.log(d0s / dh) + (d0s - dh) ** 2 / d0s),
+            0.0,
+        )
+        cand = model._select_candidates(x0)
+        ci, valid = cand
+        d_p, q_p = model._pair_closest(x0, ci)
+        d_ps = jnp.clip(d_p, 1e-9, dh)
+        lam_p = jnp.where(
+            valid & (d_p < dh),
+            c.kappa_contact
+            * jnp.abs(2 * (d_ps - dh) * jnp.log(d_ps / dh) + (d_ps - dh) ** 2 / d_ps),
+            0.0,
+        )
+        n_p = (x0[:, None, :] - q_p) / jnp.maximum(d_p, 1e-9)[..., None]
+        A0, t0 = q_to_affine(q)
+        tb = model.tri_body[ci]
+        p_local = jnp.einsum(
+            "vkij,vkj->vki", jnp.linalg.inv(A0)[tb], q_p - t0[tb]
+        )
+        pf = (lam_p, n_p, q_p, p_local, tb, valid)
+        fb = (lam, n_dir)
+        aimw = jnp.full((2, 12), 0.7)
+
+        ef = lambda qf: model._energy(
+            qf.reshape(2, 12), q, scene1, q, aimw, x0, fb, cand, pf
+        )
+        H_ref = jax.hessian(ef)(q.reshape(-1))
+        H_ana = model._assemble_hessian(q, q, scene1, aimw, x0, fb, cand, pf)
+        rel = float(jnp.abs(H_ref - H_ana).max() / jnp.abs(H_ref).max())
+        assert rel < 1e-3, rel
