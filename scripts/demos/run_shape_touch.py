@@ -42,7 +42,7 @@ def mesh_height_map(name: str, res: tuple[int, int], pixmm: float = 0.059) -> np
     z_top = float(tris[..., 2].max())
     cam_pos = jnp.array([0.0, 0.0, z_top + 1e-4])
     cam_down = jnp.array([0.0, 1.0, 0.0, 0.0])  # 180 deg about x: +Z -> -Z
-    far = z_top + 6e-3  # 6 mm of visible relief, like shapes.FAR
+    far = 1e-4 + 6e-3  # camera offset + 6 mm of visible relief, like shapes.FAR
     depth = render_depth(
         cam_pos, cam_down,
         jnp.zeros((1, 4)), jnp.zeros((1, 10)), jnp.zeros((1, 8)), jnp.zeros((1, 4)),

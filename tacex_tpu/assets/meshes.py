@@ -165,18 +165,34 @@ def _annulus_cap(outer: np.ndarray, inner: np.ndarray, z: float) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _flip(tris: np.ndarray) -> np.ndarray:
+    """Reverse winding (flip normals) of a (T, 3, 3) soup."""
+    return tris[:, ::-1]
+
+
 def extrude(
     outer: np.ndarray, height: float, inner: np.ndarray | None = None, z0: float = 0.0
 ) -> np.ndarray:
-    """Extrude a 2D profile (optional hole) from z0 to z0+height."""
+    """Extrude a 2D CCW profile (optional hole) from z0 to z0+height.
+
+    Consistently OUTWARD-oriented closed surface: bottom caps and the inner
+    (hole) wall are winding-flipped relative to their top/outer twins —
+    required by the divergence-theorem mass/inertia integrals
+    (weld_soup -> abd._mesh_moments) and the closed-surface solvers; the
+    depth rasterizer itself is winding-agnostic.
+    """
     z1 = z0 + height
     parts = [_wall(outer, z0, z1)]
     if inner is None:
-        parts += [_fan_cap(outer, z0), _fan_cap(outer, z1)]
+        parts += [_flip(_fan_cap(outer, z0)), _fan_cap(outer, z1)]
     else:
         if inner.shape[0] != outer.shape[0]:
             inner = _resample_loop(inner, outer.shape[0])
-        parts += [_wall(inner, z0, z1), _annulus_cap(outer, inner, z0), _annulus_cap(outer, inner, z1)]
+        parts += [
+            _flip(_wall(inner, z0, z1)),
+            _flip(_annulus_cap(outer, inner, z0)),
+            _annulus_cap(outer, inner, z1),
+        ]
     return np.concatenate(parts)
 
 
@@ -196,7 +212,7 @@ def cone_mesh(radius: float, height: float, segments: int = 48) -> np.ndarray:
     apex = np.array([0, 0, height], np.float32)
     base3 = np.concatenate([loop, np.zeros((segments, 1), np.float32)], -1)
     side = np.stack([base3, np.roll(base3, -1, 0), np.broadcast_to(apex, base3.shape)], 1)
-    return np.concatenate([side.astype(np.float32), _fan_cap(loop, 0.0)])
+    return np.concatenate([side.astype(np.float32), _flip(_fan_cap(loop, 0.0))])
 
 
 def torus_mesh(major: float, minor: float, seg_u: int = 36, seg_v: int = 18) -> np.ndarray:

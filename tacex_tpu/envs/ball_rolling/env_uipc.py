@@ -43,6 +43,11 @@ from ...sensors.gelsight.fem import FemMarkerFlow, ManiSkillSimulatorCfg
 from .env import GELPAD_HALF, BallRollingEnv, BallRollingEnvCfg, BallRollingState
 
 
+def _col(v):
+    """Broadcast a scalar-or-(N,) param against (N, 3) vectors."""
+    return v[..., None] if hasattr(v, "ndim") and getattr(v, "ndim", 0) == 1 else v
+
+
 @dataclasses.dataclass(frozen=True)
 class _UipcCfgDefaults:
     gel_resolution: tuple = (8, 10, 2)
@@ -192,7 +197,19 @@ class BallRollingUipcEnv(BallRollingEnv):
         # surface (staggered scheme; the gel then re-solves against the new
         # ball position below). Replaces round-1's one-way rigid box proxy.
         sub_dt = c.sim_dt / c.physics_substeps
-        bp = self.ball_params
+        # per-env randomized physics (reference EventCfg), exactly as the
+        # rigid env: the sampled dr fields must actually drive the dynamics
+        dr = base.dr
+        bp = contact.SphereParams(
+            radius=c.ball_radius, mass=dr.ball_mass, restitution=dr.ball_restitution,
+            friction=0.5 * (dr.ball_friction + dr.pad_friction),
+        )
+        plate_params = dataclasses.replace(
+            bp, friction=0.5 * (dr.ball_friction + dr.plate_friction)
+        )
+        gravity = jnp.stack(
+            [jnp.zeros_like(dr.gravity_z), jnp.zeros_like(dr.gravity_z), dr.gravity_z], -1
+        )
         tool_pos, _ = self._tool_pose(arm.q)
         for _ in range(c.physics_substeps):
             tool_prev = tool_pos
@@ -200,7 +217,7 @@ class BallRollingUipcEnv(BallRollingEnv):
             tool_pos, tool_quat = self._tool_pose(arm.q)
             pad_vel = (tool_pos - tool_prev) / sub_dt
 
-            ball_lin = ball_lin + jnp.array([0.0, 0.0, -9.81]) * sub_dt
+            ball_lin = ball_lin + gravity * sub_dt
             sph = jnp.concatenate([ball_pos, jnp.full((n, 1), c.ball_radius)], -1)[:, None]
             zeros_scene = RigidSdfScene(
                 spheres=sph,
@@ -211,7 +228,7 @@ class BallRollingUipcEnv(BallRollingEnv):
             f_gel = self.gel.sphere_contact_force(gel_state, zeros_scene)[:, 0]  # (N, 3)
             f_mag = jnp.linalg.norm(f_gel, axis=-1)
             # normal impulse (capped: the log barrier is singular at d->0)
-            dv = f_gel * (sub_dt / bp.mass)
+            dv = f_gel * (sub_dt * _col(bp.inv_mass))
             dv_n = jnp.linalg.norm(dv, axis=-1, keepdims=True)
             dv = dv * jnp.minimum(1.0, 0.25 / jnp.maximum(dv_n, 1e-9))
             ball_lin = ball_lin + dv
@@ -224,16 +241,16 @@ class BallRollingUipcEnv(BallRollingEnv):
             vt = v_cp - jnp.sum(v_cp * n_dir, -1, keepdims=True) * n_dir
             vt_mag = jnp.linalg.norm(vt, axis=-1)
             # effective mass at the contact for a tangential impulse
-            m_eff = 1.0 / (bp.inv_mass + bp.inv_inertia * c.ball_radius**2)
+            m_eff = 1.0 / (bp.inv_mass + bp.inv_inertia * c.ball_radius**2)  # (N,) or scalar
             jt = jnp.minimum(bp.friction * f_mag * sub_dt, m_eff * vt_mag)
             t_dir = vt / jnp.maximum(vt_mag, 1e-9)[..., None]
             imp = -jt[..., None] * t_dir * in_contact[..., None]
-            ball_lin = ball_lin + imp * bp.inv_mass
-            ball_ang = ball_ang + bp.inv_inertia * jnp.cross(r_vec, imp)
+            ball_lin = ball_lin + imp * _col(bp.inv_mass)
+            ball_ang = ball_ang + _col(bp.inv_inertia) * jnp.cross(r_vec, imp)
 
             dl, da = contact.sphere_plane_contact(
                 ball_pos, ball_lin, ball_ang, (0.0, 0.0, 1.0), c.plate_top_z,
-                self.ball_params, sub_dt,
+                plate_params, sub_dt,
             )
             ball_lin, ball_ang = ball_lin + dl, ball_ang + da
             ball_pos = ball_pos + ball_lin * sub_dt

@@ -397,17 +397,14 @@ class FactoryEnv(DirectRLEnv):
         hole_top = self._fixed_target(state)
         xy_dist = jnp.linalg.norm(held_tip[:, :2] - hole_top[:, :2], axis=-1)
         kp_held = held_tip[:, None, :] + self._keypoint_offsets[None]
-        hole_target = hole_top - jnp.array([0.0, 0.0, t.hole_depth])
-        if t.name in ("gear_mesh", "nut_thread"):
-            # gear seats on the plate top; nut success is depth down the bolt
-            hole_target = hole_top + jnp.array(
-                [0.0, 0.0, t.hole_depth if t.name == "nut_thread" else 0.0]
-            )
-            hole_target = jnp.where(
-                jnp.asarray(t.name == "nut_thread"),
-                hole_top + jnp.array([0.0, 0.0, 0.5 * t.hole_depth]),
-                hole_top,
-            )
+        # gear seats on the plate top; nut success is half-depth down the
+        # bolt; peg fully down the hole (t.name is static at trace time)
+        if t.name == "nut_thread":
+            hole_target = hole_top + jnp.array([0.0, 0.0, 0.5 * t.hole_depth])
+        elif t.name == "gear_mesh":
+            hole_target = hole_top
+        else:
+            hole_target = hole_top - jnp.array([0.0, 0.0, t.hole_depth])
         kp_fixed = hole_target[:, None, :] + self._keypoint_offsets[None]
         keypoint_dist = jnp.linalg.norm(kp_held - kp_fixed, axis=-1).mean(-1)
 

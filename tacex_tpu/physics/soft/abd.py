@@ -47,6 +47,7 @@ from .ipc import (
     _point_triangle_closest,
     _point_triangle_distance,
     _segment_crosses_triangle,
+    barrier_extended,
 )
 
 
@@ -173,7 +174,12 @@ class AbdModel:
             M_blocks.append(M)
             # generalized gravity force: f_q = dV/dq of -m g . x(com)
             # x(com) = A c + t  =>  f_t = m g; f_{a_k} = m g_k c
-            grav_force.append(None)  # filled lazily with cfg.gravity
+            g_vec = np.asarray(self.cfg.gravity, np.float64)
+            f = np.zeros(12)
+            f[:3] = m * g_vec
+            for k in range(3):
+                f[3 + 3 * k : 6 + 3 * k] = m * g_vec[k] * com
+            grav_force.append(f)
 
             all_pts.append(P)
             all_tris.append(T + off)
@@ -193,18 +199,7 @@ class AbdModel:
         self._tri_radius_max = float(
             np.linalg.norm(tri_pts - tri_pts.mean(1, keepdims=True), axis=-1).max()
         )
-        # generalized gravity: precompute for cfg.gravity
-        g = np.asarray(self.cfg.gravity, np.float64)
-        gq = []
-        for b, (P, T) in enumerate(zip(points, triangles)):
-            vol, com, _ = _mesh_moments(np.asarray(P, np.float64), np.asarray(T, np.int64))
-            m = dens[b] * max(vol, 1e-12)
-            f = np.zeros(12)
-            f[:3] = m * g
-            for k in range(3):
-                f[3 + 3 * k : 6 + 3 * k] = m * g[k] * com
-            gq.append(f)
-        self.gravity_q = jnp.asarray(np.stack(gq), jnp.float32)  # (B, 12)
+        self.gravity_q = jnp.asarray(np.stack(grav_force), jnp.float32)  # (B, 12)
         # mass inverse for the free-flight predictor
         self.mass_inv = jnp.asarray(
             np.linalg.inv(np.stack(M_blocks) + 1e-9 * np.eye(12)), jnp.float32
@@ -224,28 +219,8 @@ class AbdModel:
         return jnp.sum(self.kappa_ortho * jnp.sum(R * R, (-2, -1)))
 
     def _barrier(self, d: jax.Array) -> jax.Array:
-        """Log-barrier with a C^1 linear extension below 0.01 d_hat, so
-        penetration caused by kinematic scene motion between steps still
-        yields an outward gradient (see ipc.SoftBodyModel._barrier)."""
-        dh = self.cfg.d_hat
-        d0 = 0.1 * dh
-        d_c = jnp.clip(d, d0, dh)
-        active = d < dh
-        b_core = -self.cfg.kappa_contact * (d_c - dh) ** 2 * jnp.log(d_c / dh)
-        # C^2 quadratic extension below d0: value/slope/curvature all match,
-        # so penetrated vertices see a depth-growing outward force AND a
-        # bounded positive curvature (a linear extension has zero curvature,
-        # which blows the Newton direction up to meter-scale steps the line
-        # search can never shrink back — the solve freezes at alpha=0).
-        lg = math.log(d0 / dh)
-        b_d0 = -self.cfg.kappa_contact * (d0 - dh) ** 2 * lg
-        db_d0 = -self.cfg.kappa_contact * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
-        d2b_d0 = -self.cfg.kappa_contact * (
-            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
-        )
-        dd = d - d0
-        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
-        return jnp.where(active, b, 0.0).sum()
+        """Summed log-barrier (shared formulation: ipc.barrier_extended)."""
+        return self._barrier_scalar(d).sum()
 
     def _select_candidates(self, x: jax.Array):
         """K nearest OTHER-body triangles per vertex (static shapes)."""
@@ -348,21 +323,8 @@ class AbdModel:
         return inertia + ortho + contact + constr + friction
 
     def _barrier_scalar(self, d):
-        """Per-distance barrier value (same formula as _barrier, unsummed)."""
-        dh = self.cfg.d_hat
-        d0 = 0.1 * dh
-        d_c = jnp.clip(d, d0, dh)
-        active = d < dh
-        b_core = -self.cfg.kappa_contact * (d_c - dh) ** 2 * jnp.log(d_c / dh)
-        lg = math.log(d0 / dh)
-        b_d0 = -self.cfg.kappa_contact * (d0 - dh) ** 2 * lg
-        db_d0 = -self.cfg.kappa_contact * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
-        d2b_d0 = -self.cfg.kappa_contact * (
-            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
-        )
-        dd = d - d0
-        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
-        return jnp.where(active, b, 0.0)
+        """Per-distance log-barrier (shared formulation: ipc.barrier_extended)."""
+        return barrier_extended(d, self.cfg.kappa_contact, self.cfg.d_hat)
 
     def _point_jacobians(self) -> jax.Array:
         """J_v = dx_v/dq_b (Vt, 3, 12): x = A p + t is linear in q, so the

@@ -132,6 +132,34 @@ def _segment_crosses_triangle(p0, p1, a, b, c, eps: float = 1e-4):
     )
 
 
+def barrier_extended(d, kappa: float, d_hat: float):
+    """Per-distance IPC log-barrier with a C^2 quadratic extension below
+    d0 = 0.1 d_hat (value/slope/curvature matched at d0).
+
+    The extension exists for vertices that START a step already penetrated —
+    a kinematic collider moved into them between steps, something true IPC
+    never faces because its CCD sees the collider motion. They need a
+    strong, finite, depth-growing outward gradient AND bounded positive
+    curvature: a clamped log gives zero gradient, a linear extension gives
+    zero curvature (meter-scale Newton directions the line search can never
+    shrink — the solve freezes at alpha=0).
+
+    The ONE shared implementation for the FEM, ABD, and shell solvers —
+    this expression is numerically delicate; keep it in one place.
+    """
+    d0 = 0.1 * d_hat
+    d_c = jnp.clip(d, d0, d_hat)
+    active = d < d_hat
+    b_core = -kappa * (d_c - d_hat) ** 2 * jnp.log(d_c / d_hat)
+    lg = math.log(d0 / d_hat)
+    b_d0 = -kappa * (d0 - d_hat) ** 2 * lg
+    db_d0 = -kappa * (2.0 * (d0 - d_hat) * lg + (d0 - d_hat) ** 2 / d0)
+    d2b_d0 = -kappa * (2.0 * lg + 4.0 * (d0 - d_hat) / d0 - (d0 - d_hat) ** 2 / d0**2)
+    dd = d - d0
+    b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
+    return jnp.where(active, b, 0.0)
+
+
 @configclass
 class IpcSolverCfg:
     """Solver configuration (defaults mirror UipcSimCfg where applicable)."""
@@ -265,34 +293,8 @@ class SoftBodyModel:
 
     # ---------------------------------------------------------------- energy
     def _barrier(self, d: jax.Array) -> jax.Array:
-        """IPC log-barrier on signed distances, NaN-safe for autodiff.
-
-        Below ``d0 = 0.01 d_hat`` the barrier is extended LINEARLY (C^1 —
-        value and slope match at d0), so vertices that start a step already
-        penetrated — a kinematic collider moved into them between steps,
-        something true IPC never faces because its CCD sees the collider
-        motion — still feel a strong, finite outward gradient instead of the
-        zero gradient a clamped log would give them.
-        """
-        dh = self.cfg.d_hat
-        d0 = 0.1 * dh
-        d_c = jnp.clip(d, d0, dh)
-        active = d < dh
-        b_core = -self.cfg.kappa * (d_c - dh) ** 2 * jnp.log(d_c / dh)
-        # C^2 quadratic extension below d0: value/slope/curvature all match,
-        # so penetrated vertices see a depth-growing outward force AND a
-        # bounded positive curvature (a linear extension has zero curvature,
-        # which blows the Newton direction up to meter-scale steps the line
-        # search can never shrink back — the solve freezes at alpha=0).
-        lg = math.log(d0 / dh)
-        b_d0 = -self.cfg.kappa * (d0 - dh) ** 2 * lg
-        db_d0 = -self.cfg.kappa * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
-        d2b_d0 = -self.cfg.kappa * (
-            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
-        )
-        dd = d - d0
-        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
-        return jnp.where(active, b, 0.0).sum()
+        """Summed log-barrier (see barrier_extended for the formulation)."""
+        return barrier_extended(d, self.cfg.kappa, self.cfg.d_hat).sum()
 
     def _energy(self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None):
         c = self.cfg

@@ -40,6 +40,7 @@ from .ipc import (
     SoftBodyState,
     _point_triangle_distance,
     _segment_crosses_triangle,
+    barrier_extended,
 )
 
 
@@ -228,21 +229,8 @@ class ShellModel:
         return jnp.sum(self.hinge_w * (theta - self.theta0) ** 2)
 
     def _barrier(self, d: jax.Array) -> jax.Array:
-        """Log-barrier with C^2 quadratic extension (see ipc._barrier)."""
-        dh = self.cfg.d_hat
-        d0 = 0.1 * dh
-        d_c = jnp.clip(d, d0, dh)
-        active = d < dh
-        b_core = -self.cfg.kappa * (d_c - dh) ** 2 * jnp.log(d_c / dh)
-        lg = math.log(d0 / dh)
-        b_d0 = -self.cfg.kappa * (d0 - dh) ** 2 * lg
-        db_d0 = -self.cfg.kappa * (2.0 * (d0 - dh) * lg + (d0 - dh) ** 2 / d0)
-        d2b_d0 = -self.cfg.kappa * (
-            2.0 * lg + 4.0 * (d0 - dh) / d0 - (d0 - dh) ** 2 / d0**2
-        )
-        dd = d - d0
-        b = jnp.where(d < d0, b_d0 + db_d0 * dd + 0.5 * d2b_d0 * dd * dd, b_core)
-        return jnp.where(active, b, 0.0).sum()
+        """Summed log-barrier (shared formulation: ipc.barrier_extended)."""
+        return barrier_extended(d, self.cfg.kappa, self.cfg.d_hat).sum()
 
     def _static_candidates(self, x: jax.Array):
         """K nearest static-collider triangles per vertex (stop-gradient)."""

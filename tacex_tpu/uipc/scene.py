@@ -109,6 +109,17 @@ class _RigidEntity:
             return dataclasses.replace(
                 scene, spheres=jnp.concatenate([scene.spheres, sph], axis=1)
             )
+        if self.cfg.shape == "box":
+            quat = jnp.broadcast_to(
+                jnp.asarray([1.0, 0.0, 0.0, 0.0], jnp.float32), (self.pos.shape[0], 4)
+            )
+            half = jnp.broadcast_to(
+                jnp.asarray(self.cfg.size, jnp.float32), (self.pos.shape[0], 3)
+            )
+            box = jnp.concatenate([self.pos, quat, half], -1)[:, None]
+            return dataclasses.replace(
+                scene, boxes=jnp.concatenate([scene.boxes, box], axis=1)
+            )
         if self.cfg.shape == "plane":
             pl = jnp.broadcast_to(
                 jnp.asarray(self.cfg.size, jnp.float32), (self.pos.shape[0], 1, 4)

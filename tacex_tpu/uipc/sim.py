@@ -138,6 +138,7 @@ class UipcSim:
         self._union_model = None
         self._union_state = None
         self._union_aim_objs: list[Any] = []
+        self._union_objs: list[Any] = []
         self._abd_model = None
         self._abd_state = None
         self._abd_aim_q = None
@@ -325,6 +326,7 @@ class UipcSim:
         )
         self._union_state = SoftBodyState.init(self.cfg.num_envs, mesh.points)
         self._union_step_fn = jax.jit(self._union_model.step)
+        self._union_objs = objects
         for i, obj in enumerate(objects):
             obj._set_union_view(self, int(offsets[i]), int(offsets[i + 1]))
 
@@ -397,16 +399,30 @@ class UipcSim:
         if self._union_model is not None:
             aim = None
             if self._union_aim_objs:
+                # EVERY attached object contributes aim rows (the union
+                # model's attachment_verts covers them all): providers give
+                # live targets, provider-less attachments hold their initial
+                # positions — falling through to None would pull every
+                # anchored vertex toward the world origin.
                 aims = [
-                    o._aim_provider()
+                    (
+                        o._aim_provider()
+                        if o._aim_provider is not None
+                        else jnp.broadcast_to(
+                            jnp.asarray(o.init_vertex_pos[o._attachment_verts]),
+                            (self.cfg.num_envs, len(o._attachment_verts), 3),
+                        )
+                    )
                     for o in self._union_aim_objs
-                    if o._aim_provider is not None
                 ]
-                if aims:
-                    aim = jnp.concatenate(aims, axis=1)
+                aim = jnp.concatenate(aims, axis=1)
             self._union_state = self._union_step_fn(self._union_state, scene, aim)
-            for obj in self.objects:
+            for obj in self._union_objs:
                 obj._refresh_union_slice()
+            # shells are not part of the FEM union; advance them separately
+            for obj in self.objects:
+                if obj.is_shell:
+                    obj._advance(scene)
         else:
             for obj in self.objects:
                 if not obj.is_affine_body:
@@ -492,8 +508,8 @@ class UipcSim:
         self._abd_aim_q = abd_aim
         if self._union_model is not None:
             self._union_state = SoftBodyState(
-                x=jnp.concatenate([o.state.x for o in fem_objs], axis=1),
-                v=jnp.concatenate([o.state.v for o in fem_objs], axis=1),
+                x=jnp.concatenate([o.state.x for o in self._union_objs], axis=1),
+                v=jnp.concatenate([o.state.v for o in self._union_objs], axis=1),
             )
         self._frame_counter = frame
 

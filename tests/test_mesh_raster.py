@@ -199,3 +199,38 @@ class TestMeshLibrary:
         assert tris.shape[0] > 10
         assert np.isfinite(tris).all()
         assert np.abs(tris).max() < 1.0  # meters-scale part
+
+
+class TestMeshOrientation:
+    """All procedural generators must be closed, outward-oriented surfaces
+    (the divergence-theorem mass/inertia integrals depend on it; regression:
+    extrude()'s bottom caps and inner walls were winding-inverted, giving a
+    tube +44% and a base-shifted cylinder +133% volume error)."""
+
+    def test_signed_volumes(self):
+        import numpy as np
+
+        from tacex_tpu.assets import meshes as M
+
+        def signed_vol(tris):
+            a = tris[:, 0].astype(np.float64)
+            b = tris[:, 1].astype(np.float64)
+            c = tris[:, 2].astype(np.float64)
+            return np.einsum("ij,ij->i", a, np.cross(b, c)).sum() / 6.0
+
+        cases = {
+            "cylinder": (M.cylinder_mesh(0.005, 0.02), np.pi * 0.005**2 * 0.02),
+            "cylinder_shifted": (
+                M.cylinder_mesh(0.005, 0.02) + np.array([0.01, 0.02, 0.005]),
+                np.pi * 0.005**2 * 0.02,
+            ),
+            "tube": (M.tube_mesh(0.006, 0.004, 0.015), np.pi * (0.006**2 - 0.004**2) * 0.015),
+            "cone": (M.cone_mesh(0.006, 0.012), np.pi * 0.006**2 * 0.012 / 3),
+            "box": (M.box_mesh(0.01, 0.02, 0.03), 8 * 0.01 * 0.02 * 0.03),
+            "icosphere": (M.icosphere(0.01, 2), 4 / 3 * np.pi * 0.01**3),
+            "torus": (M.torus_mesh(0.01, 0.003), 2 * np.pi**2 * 0.01 * 0.003**2),
+        }
+        for name, (tris, expect) in cases.items():
+            v = signed_vol(tris)
+            assert v > 0, f"{name}: inward-oriented (signed volume {v:.3e})"
+            assert abs(v / expect - 1) < 0.15, f"{name}: {v:.3e} vs {expect:.3e}"

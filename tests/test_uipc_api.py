@@ -253,3 +253,52 @@ class TestFotsPoseDrivenCenter:
         fb = run(jnp.asarray([3.0, 2.0]))
         # same depth, different pose-driven center -> different marker field
         assert np.abs(fa - fb).max() > 1e-4
+
+
+class TestUnionMixedScene:
+    """Union contact world coexisting with ABD bodies + provider-less
+    attachments (regressions: step() crashed on non-FEM objects in the
+    union branch; provider-less anchors were pulled to the origin)."""
+
+    def test_union_plus_abd_steps(self):
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        from tacex_tpu.assets.meshes import box_mesh, weld_soup
+        from tacex_tpu.uipc import (
+            StableNeoHookeanCfg, UipcObject, UipcObjectCfg, UipcSim, UipcSimCfg,
+        )
+        from tacex_tpu.uipc.objects import AffineBodyConstitutionCfg, TetMeshCfg
+
+        sim = UipcSim(
+            UipcSimCfg(
+                num_envs=1, dt=1 / 120, enable_ground=True,
+                contact=UipcSimCfg.Contact(self_contact_k=4, d_hat=0.002),
+            )
+        )
+        mk = lambda c: UipcObjectCfg(
+            mesh_cfg=TetMeshCfg(size=(0.02, 0.02, 0.02), resolution=(2, 2, 2), center=c),
+            constitution=StableNeoHookeanCfg(),
+        )
+        g1 = UipcObject(mk((0.0, 0.0, 0.03)), sim)
+        g2 = UipcObject(mk((0.0, 0.0, 0.08)), sim)
+        # one anchored WITHOUT a provider: must hold near its start, not
+        # get pulled to the origin
+        top = np.where(g2.mesh.points[:, 2] > 0.089)[0].astype(np.int32)
+        g2.set_attachments(top, strength_ratio=200.0)
+        bp, bt = weld_soup(box_mesh(0.01, 0.01, 0.01))
+        cube = UipcObject(
+            UipcObjectCfg(constitution=AffineBodyConstitutionCfg()),
+            sim, points=bp + np.array([0.1, 0.0, 0.05], np.float32), triangles=bt,
+        )
+        sim.setup_sim()
+        assert sim._union_model is not None  # the union path is exercised
+        for _ in range(10):
+            sim.step()
+        sim.check_health()
+        # anchored gel held up by its provider-less attachment
+        z_top = float(g2.nodal_pos_w[0, top, 2].mean())
+        assert z_top > 0.07, z_top
+        # ABD cube advanced too (fell toward the ground)
+        assert float(cube.root_pos_w[0, 2]) < 0.05
