@@ -180,6 +180,10 @@ class IpcSolverCfg:
     # surface vertex, re-selected each step). 0 disables. Two separate gels
     # pressing each other = the same machinery on their union mesh.
     self_contact_k: int = 0
+    # candidate static-collider triangles per surface vertex, when the model
+    # was built with static_tris (fixed trimesh bodies, e.g. kinematic
+    # affine objects — same machinery as the shell solver)
+    static_contact_k: int = 4
 
 
 @jax.tree_util.register_dataclass
@@ -226,6 +230,7 @@ class SoftBodyModel:
         cfg: IpcSolverCfg | None = None,
         attachment_verts: np.ndarray | None = None,
         attachment_strength_ratio=100.0,  # scalar or (Va,) per attachment vertex
+        static_tris: np.ndarray | None = None,  # (Ts, 3, 3) fixed trimesh colliders
     ):
         self.mesh = mesh
         self.cfg = cfg or IpcSolverCfg()
@@ -252,6 +257,14 @@ class SoftBodyModel:
         self._tri_radius_max = float(
             np.linalg.norm(tri_pts - tri_pts.mean(1, keepdims=True), axis=-1).max()
         )
+        # fixed triangle-soup colliders (the shell solver's static_tris
+        # machinery): K-nearest candidates per surface vertex + crossing CCD
+        if static_tris is not None and len(static_tris) > 0:
+            self.static_tris = jnp.asarray(static_tris, jnp.float32)
+            self.static_cent = self.static_tris.mean(axis=1)
+        else:
+            self.static_tris = None
+            self.static_cent = None
 
         # attachments: soft position constraints (UipcIsaacAttachments
         # semantics — strength = ratio x object mass, uipc_attachments.py:36-66)
@@ -296,7 +309,23 @@ class SoftBodyModel:
         """Summed log-barrier (see barrier_extended for the formulation)."""
         return barrier_extended(d, self.cfg.kappa, self.cfg.d_hat).sum()
 
-    def _energy(self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None):
+    def _static_candidates(self, xs: jax.Array):
+        """K nearest static-collider triangles per surface vertex."""
+        k = min(self.cfg.static_contact_k, self.static_cent.shape[0])
+        d2 = ((xs[:, None, :] - self.static_cent[None]) ** 2).sum(-1)
+        _, cand = jax.lax.top_k(-d2, k)
+        return jax.lax.stop_gradient(cand)
+
+    def _static_distance(self, xs: jax.Array, cand: jax.Array) -> jax.Array:
+        tri = self.static_tris[cand]  # (Vs, K, 3, 3)
+        return _point_triangle_distance(
+            xs[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+        )
+
+    def _energy(
+        self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None,
+        static_cand=None,
+    ):
         c = self.cfg
         inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
         elastic = stable_neo_hookean_energy(x, self.tets, self.dm_inv, self.rest_vol, self.mu, self.lam)
@@ -309,6 +338,8 @@ class SoftBodyModel:
             # inactive pairs pushed past d_hat so the barrier ignores them
             d_vt = jnp.where(valid, d_vt, 10.0 * c.d_hat)
             contact = contact + self._barrier(d_vt)
+        if static_cand is not None:
+            contact = contact + self._barrier(self._static_distance(xs, static_cand))
         attach = 0.0
         if self.attachment_verts.shape[0] > 0:
             attach = 0.5 * jnp.sum(self.attachment_k * (x[self.attachment_verts] - aim_pos) ** 2)
@@ -358,9 +389,12 @@ class SoftBodyModel:
 
         # FEM-FEM / self contact: fixed-capacity candidate set for this step
         self_cand = self._select_candidates(x) if c.self_contact_k > 0 else None
+        static_cand = (
+            self._static_candidates(xs0) if self.static_tris is not None else None
+        )
 
         energy = lambda xx: self._energy(
-            xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand
+            xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand, static_cand
         )
 
         # Feasibility floor: strict penetration-free (d > 0) when the step
@@ -385,6 +419,16 @@ class SoftBodyModel:
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~(crossed & valid).any()
+            if static_cand is not None:
+                xs_try = xx[self.surface_verts]
+                ok = ok & (self._static_distance(xs_try, static_cand).min() > 1e-7)
+                tri = self.static_tris[static_cand]
+                crossed = _segment_crosses_triangle(
+                    x_from[self.surface_verts][:, None, :],
+                    xs_try[:, None, :],
+                    tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
+                )
+                ok = ok & ~crossed.any()
             return ok
 
         def newton_iter(_, carry):

@@ -208,6 +208,7 @@ class UipcObject:
             cfg=sim.cfg.to_solver_cfg(),
             attachment_verts=self._attachment_verts,
             attachment_strength_ratio=getattr(self, "_attachment_strength", 100.0),
+            static_tris=static_tris,
         )
         self.state = SoftBodyState.init(sim.cfg.num_envs, self.mesh.points)
         self._step = jax.jit(self.model.step)

@@ -179,20 +179,20 @@ class UipcSim:
         ]
         abd_objs = [o for o in self.objects if o.is_affine_body]
         shell_objs = [o for o in self.objects if o.is_shell]
+        # kinematic affine bodies act as STATIC trimesh colliders for both
+        # FEM and shell objects (the bunny-cloth pattern: fixed body + soft)
+        static = [
+            np.asarray(o.mesh.points, np.float32)[np.asarray(o.mesh.surface_tris)]
+            for o in abd_objs
+            if o.cfg.constitution.kinematic
+        ]
+        static_tris = np.concatenate(static) if static else None
         if self.cfg.contact.self_contact_k > 0 and len(fem_objs) >= 2:
-            self._setup_union(fem_objs)
+            self._setup_union(fem_objs, static_tris=static_tris)
         else:
             for obj in fem_objs:
-                obj._finalize(self)
+                obj._finalize(self, static_tris=static_tris)
         if shell_objs:
-            # kinematic affine bodies act as STATIC trimesh colliders for
-            # shells (the bunny-cloth pattern: fixed ABD bunny + cloth)
-            static = [
-                np.asarray(o.mesh.points, np.float32)[np.asarray(o.mesh.surface_tris)]
-                for o in abd_objs
-                if o.cfg.constitution.kinematic
-            ]
-            static_tris = np.concatenate(static) if static else None
             for obj in shell_objs:
                 obj._finalize(self, static_tris=static_tris)
         if abd_objs:
@@ -287,7 +287,7 @@ class UipcSim:
         self._abd_state = AbdState(q=q, qd=qd)
         self._abd_aim_q = aim
 
-    def _setup_union(self, fem_objs) -> None:
+    def _setup_union(self, fem_objs, static_tris=None) -> None:
         from ..physics.soft.mesh import union_meshes
 
         objects = fem_objs
@@ -323,6 +323,7 @@ class UipcSim:
             attachment_strength_ratio=(
                 np.concatenate(att_ratio) if att_ratio else 100.0
             ),
+            static_tris=static_tris,
         )
         self._union_state = SoftBodyState.init(self.cfg.num_envs, mesh.points)
         self._union_step_fn = jax.jit(self._union_model.step)

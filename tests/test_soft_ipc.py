@@ -249,3 +249,71 @@ class TestDiffSim:
         assert np.isfinite(g)
         assert g < 0 and fd < 0, (g, fd)
         assert 0.2 < g / fd < 5.0, (g, fd)
+
+
+class TestStaticTrimeshColliders:
+    """FEM gels collide with fixed triangle-soup bodies (kinematic affine
+    objects), via the same static_tris machinery as the shell solver."""
+
+    def test_gel_drapes_over_trimesh(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tacex_tpu.assets.meshes import icosphere
+        from tacex_tpu.physics.soft.ipc import (
+            IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState,
+        )
+        from tacex_tpu.physics.soft.mesh import box_tet_mesh
+
+        mesh = box_tet_mesh((0.06, 0.06, 0.01), (6, 6, 2), center=(0, 0, 0.08))
+        sphere = np.asarray(icosphere(0.03, 1)) + np.array([0, 0, 0.03])
+        gel = SoftBodyModel(
+            mesh, youngs_modulus=3e4,
+            cfg=IpcSolverCfg(dt=1 / 60, d_hat=0.002, newton_max_iter=4, cg_iters=16),
+            static_tris=sphere,
+        )
+        st = SoftBodyState.init(1, mesh.points)
+        sc = RigidSdfScene.empty(1)
+        scene = RigidSdfScene(
+            sc.spheres, sc.boxes, sc.capsules,
+            sc.planes.at[:, 0].set(jnp.array([0.0, 0, 1, 0])),
+        )
+        step = jax.jit(gel.step)
+        for _ in range(60):
+            st = step(st, scene)
+        x = np.asarray(st.x[0])
+        r = np.linalg.norm(x - np.array([0, 0, 0.03]), axis=-1)
+        assert r.min() > 0.027, f"tunneled into the trimesh: {r.min():.4f}"
+        assert x[:, 2].max() > 0.045  # held up by the sphere
+        assert x[:, 2].min() > -2e-3
+
+    def test_uipc_kinematic_abd_collides_fem(self):
+        """UipcSim: a kinematic affine body blocks a falling FEM cube."""
+        import jax.numpy as jnp
+
+        from tacex_tpu.assets.meshes import box_mesh, weld_soup
+        from tacex_tpu.uipc import (
+            StableNeoHookeanCfg, UipcObject, UipcObjectCfg, UipcSim, UipcSimCfg,
+        )
+        from tacex_tpu.uipc.objects import AffineBodyConstitutionCfg, TetMeshCfg
+
+        sim = UipcSim(UipcSimCfg(num_envs=1, dt=1 / 120, enable_ground=True))
+        gel = UipcObject(
+            UipcObjectCfg(
+                mesh_cfg=TetMeshCfg(size=(0.03, 0.03, 0.02), resolution=(3, 3, 2), center=(0, 0, 0.08)),
+                constitution=StableNeoHookeanCfg(youngs_modulus=0.05),
+            ),
+            sim,
+        )
+        bp, bt = weld_soup(box_mesh(0.04, 0.04, 0.02))
+        UipcObject(
+            UipcObjectCfg(constitution=AffineBodyConstitutionCfg(kinematic=True)),
+            sim, points=bp + np.array([0, 0, 0.02], np.float32), triangles=bt,
+        )
+        sim.setup_sim()
+        for _ in range(40):
+            sim.step()
+        sim.check_health()
+        z = np.asarray(gel.nodal_pos_w[0, :, 2])
+        # rests ON the kinematic slab (top at 0.04), not on the ground
+        assert z.min() > 0.035, z.min()
