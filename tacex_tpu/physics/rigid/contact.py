@@ -43,8 +43,11 @@ class SphereParams:
 
     @property
     def inv_inertia(self):
-        # solid sphere: I = 2/5 m r^2
-        return 1.0 / (0.4 * self.mass * self.radius**2)
+        # solid sphere: I = 2/5 m r^2 (guarded: a zero radius — e.g. a
+        # params object built for a non-sphere shape — must not divide by 0)
+        return 1.0 / jnp.maximum(
+            jnp.asarray(0.4 * self.mass * self.radius**2, jnp.float32), 1e-12
+        )
 
 
 def _col(x) -> jax.Array:

@@ -48,6 +48,7 @@ from .ipc import (
     _point_triangle_distance,
     _segment_crosses_triangle,
     barrier_extended,
+    barrier_force_mag,
 )
 
 
@@ -499,46 +500,45 @@ class AbdModel:
         sdf_fn = lambda p: sdf_ops.scene_sdf(
             p, scene.spheres, scene.boxes, scene.capsules, scene.planes
         )
-        d0 = sdf_fn(x0)
-        n_dir = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(x0)
-        n_dir = n_dir / jnp.maximum(jnp.linalg.norm(n_dir, axis=-1, keepdims=True), 1e-9)
         dh = c.d_hat
-        d0s = jnp.clip(d0, 1e-9, dh)
-        lam_n = jnp.where(
-            d0 < dh,
-            c.kappa_contact
-            * jnp.abs(2.0 * (d0s - dh) * jnp.log(d0s / dh) + (d0s - dh) ** 2 / d0s),
-            0.0,
-        )
-        friction_basis = (lam_n, n_dir) if c.friction_mu > 0 else None
         cand = self._select_candidates(x0) if c.contact_k > 0 else None
-
-        pair_friction = None
-        if cand is not None and c.friction_mu > 0:
-            ci, valid = cand
-            d_p, q_p = self._pair_closest(x0, ci)
-            d_ps = jnp.clip(d_p, 1e-9, dh)
-            lam_p = jnp.where(
-                valid & (d_p < dh),
-                c.kappa_contact
-                * jnp.abs(
-                    2.0 * (d_ps - dh) * jnp.log(d_ps / dh) + (d_ps - dh) ** 2 / d_ps
-                ),
-                0.0,
-            )
-            n_p = (x0[:, None, :] - q_p) / jnp.maximum(d_p, 1e-9)[..., None]
-            A0, t0 = q_to_affine(q)
-            A0_inv = jnp.linalg.inv(A0)
-            tb = self.tri_body[ci]  # (Vt, K)
-            p_local = jnp.einsum("vkij,vkj->vki", A0_inv[tb], q_p - t0[tb])
-            pair_friction = (lam_p, n_p, q_p, p_local, tb, valid)
-
+        A0, t0 = q_to_affine(q)  # step-start pose: friction anchors map here
         B = self.num_bodies
-        energy_flat = lambda qf: self._energy(
-            qf.reshape(B, 12), q_tilde, scene, aim_q, aim_strength, x0, friction_basis,
-            cand, pair_friction,
-        )
 
+        def friction_lag(qf_k):
+            """Friction quantities from the CURRENT Newton iterate (see
+            ipc.py friction_lag — per-iteration re-lagging is the fixed
+            point of fully-implicit friction). Slip anchors (p_local) are
+            picked at the iterate but their reference world position is the
+            STEP-START pose, so the friction displacement spans the whole
+            step like the vertex displacement does."""
+            if c.friction_mu <= 0:
+                return None, None
+            q_k = jax.lax.stop_gradient(qf_k).reshape(B, 12)
+            x_k = self.world_points(q_k)
+            d = sdf_fn(x_k)
+            n = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(x_k)
+            n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+            fb = (barrier_force_mag(d, c.kappa_contact, dh), n)
+            pf = None
+            if cand is not None:
+                ci, valid = cand
+                d_p, q_p = self._pair_closest(x_k, ci)
+                lam_p = jnp.where(valid, barrier_force_mag(d_p, c.kappa_contact, dh), 0.0)
+                n_p = (x_k[:, None, :] - q_p) / jnp.maximum(d_p, 1e-9)[..., None]
+                A_k, t_k = q_to_affine(q_k)
+                A_k_inv = jnp.linalg.inv(A_k)
+                tb = self.tri_body[ci]  # (Vt, K)
+                p_local = jnp.einsum("vkij,vkj->vki", A_k_inv[tb], q_p - t_k[tb])
+                q_p0 = jnp.einsum("vkij,vkj->vki", A0[tb], p_local) + t0[tb]
+                pf = (lam_p, n_p, q_p0, p_local, tb, valid)
+            return fb, pf
+
+        def make_energy(friction_basis, pair_friction):
+            return lambda qf: self._energy(
+                qf.reshape(B, 12), q_tilde, scene, aim_q, aim_strength, x0,
+                friction_basis, cand, pair_friction,
+            )
 
         # no-worsening floor when the step starts penetrated by a moved
         # kinematic collider (see ipc._step_single d_floor rationale)
@@ -564,6 +564,8 @@ class AbdModel:
 
         def newton_iter(_, carry):
             qf, done = carry
+            friction_basis, pair_friction = friction_lag(qf)
+            energy_flat = make_energy(friction_basis, pair_friction)
             grad = jax.grad(energy_flat)(qf)
             if c.analytic_hessian:
                 H = self._assemble_hessian(

@@ -160,6 +160,27 @@ def barrier_extended(d, kappa: float, d_hat: float):
     return jnp.where(active, b, 0.0)
 
 
+def barrier_force_mag(d, kappa: float, d_hat: float):
+    """|d/dd barrier_extended(d)| — the normal contact-force magnitude used
+    as the lagged friction coefficient lambda_n.
+
+    MUST stay consistent with :func:`barrier_extended`: below d0 = 0.1 d_hat
+    the force is the (bounded, linear-in-depth) derivative of the quadratic
+    extension, NOT the raw log-barrier derivative with a clamped d — the raw
+    form at a penetrated start explodes to ~kappa d_hat^2 / d_clamp and the
+    resulting friction stiffness jams the very solve the extension exists to
+    unfreeze (advisor round-2 finding, abd.py:510 pattern).
+    """
+    d0 = 0.1 * d_hat
+    d_c = jnp.clip(d, d0, d_hat)
+    g_core = 2.0 * (d_c - d_hat) * jnp.log(d_c / d_hat) + (d_c - d_hat) ** 2 / d_c
+    lg = math.log(d0 / d_hat)
+    db_d0 = 2.0 * (d0 - d_hat) * lg + (d0 - d_hat) ** 2 / d0
+    d2b_d0 = 2.0 * lg + 4.0 * (d0 - d_hat) / d0 - (d0 - d_hat) ** 2 / d0**2
+    g = jnp.where(d < d0, db_d0 + d2b_d0 * (d - d0), g_core)
+    return jnp.where(d < d_hat, kappa * jnp.abs(g), 0.0)
+
+
 @configclass
 class IpcSolverCfg:
     """Solver configuration (defaults mirror UipcSimCfg where applicable)."""
@@ -369,23 +390,10 @@ class SoftBodyModel:
         g = jnp.asarray(c.gravity, jnp.float32)
         x_tilde = x + c.dt * v + c.dt * c.dt * g
 
-        # lagged friction basis from the starting configuration
         xs0 = x[self.surface_verts]
         sdf_fn = lambda p: sdf_ops.scene_sdf(
             p, scene.spheres, scene.boxes, scene.capsules, scene.planes
         )
-        d0 = sdf_fn(xs0)
-        n_dir = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(xs0)
-        n_dir = n_dir / jnp.maximum(jnp.linalg.norm(n_dir, axis=-1, keepdims=True), 1e-9)
-        dh = c.d_hat
-        d0s = jnp.clip(d0, 1e-9, dh)
-        # normal barrier force magnitude at d0 (|db/dd|), zero when inactive
-        lam_n = jnp.where(
-            d0 < dh,
-            c.kappa * jnp.abs(2.0 * (d0s - dh) * jnp.log(d0s / dh) + (d0s - dh) ** 2 / d0s),
-            0.0,
-        )
-        friction_basis = (lam_n, n_dir) if c.friction_mu > 0 else None
 
         # FEM-FEM / self contact: fixed-capacity candidate set for this step
         self_cand = self._select_candidates(x) if c.self_contact_k > 0 else None
@@ -393,9 +401,26 @@ class SoftBodyModel:
             self._static_candidates(xs0) if self.static_tris is not None else None
         )
 
-        energy = lambda xx: self._energy(
-            xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand, static_cand
-        )
+        def friction_lag(x_k):
+            """(lambda_n, normal) recomputed from the CURRENT Newton iterate
+            (stop-gradient). Re-lagging every iteration is the fixed-point
+            scheme that converges to fully-implicit friction (libuipc's
+            Contact.friction semantics, reference uipc_sim.py:87-95): a
+            once-per-step lag freezes lambda at the starting distances and
+            self-locks multi-point conforming contacts (the round-2
+            screw-and-nut limitation)."""
+            if c.friction_mu <= 0:
+                return None
+            xs = jax.lax.stop_gradient(x_k)[self.surface_verts]
+            d = sdf_fn(xs)
+            n = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(xs)
+            n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+            return (barrier_force_mag(d, c.kappa, c.d_hat), n)
+
+        def make_energy(friction_basis):
+            return lambda xx: self._energy(
+                xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand, static_cand
+            )
 
         # Feasibility floor: strict penetration-free (d > 0) when the step
         # STARTS feasible; when a kinematic collider moved into the gel
@@ -403,6 +428,15 @@ class SoftBodyModel:
         # instead — otherwise every line-search trial is rejected and the
         # solve freezes at the pre-contact state (zero contact force).
         d_floor = jnp.minimum(sdf_fn(x[self.surface_verts]).min(), 0.0)
+        # same no-worsening pattern for static trimesh colliders: a gel that
+        # STARTS closer than the strict threshold (reset/init overlap) must
+        # not have every trial rejected — require not-worse instead
+        if static_cand is not None:
+            s_floor = jnp.minimum(
+                0.999 * self._static_distance(xs0, static_cand).min(), 1e-7
+            )
+        else:
+            s_floor = 1e-7
 
         def feasible(xx, x_from):
             ok = sdf_fn(xx[self.surface_verts]).min() > d_floor
@@ -421,7 +455,7 @@ class SoftBodyModel:
                 ok = ok & ~(crossed & valid).any()
             if static_cand is not None:
                 xs_try = xx[self.surface_verts]
-                ok = ok & (self._static_distance(xs_try, static_cand).min() > 1e-7)
+                ok = ok & (self._static_distance(xs_try, static_cand).min() > s_floor)
                 tri = self.static_tris[static_cand]
                 crossed = _segment_crosses_triangle(
                     x_from[self.surface_verts][:, None, :],
@@ -433,6 +467,7 @@ class SoftBodyModel:
 
         def newton_iter(_, carry):
             x_k, done = carry
+            energy = make_energy(friction_lag(x_k))
             grad = jax.grad(energy)(x_k)
 
             hvp = lambda p: jax.jvp(jax.grad(energy), (x_k,), (p,))[1]

@@ -41,6 +41,7 @@ from .ipc import (
     _point_triangle_distance,
     _segment_crosses_triangle,
     barrier_extended,
+    barrier_force_mag,
 )
 
 
@@ -283,29 +284,35 @@ class ShellModel:
         sdf_fn = lambda p: sdf_ops.scene_sdf(
             p, scene.spheres, scene.boxes, scene.capsules, scene.planes
         )
-        d0 = sdf_fn(x)
-        n_dir = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(x)
-        n_dir = n_dir / jnp.maximum(jnp.linalg.norm(n_dir, axis=-1, keepdims=True), 1e-9)
-        dh = c.d_hat
-        d0s = jnp.clip(d0, 1e-9, dh)
-        lam_n = jnp.where(
-            d0 < dh,
-            c.kappa * jnp.abs(2.0 * (d0s - dh) * jnp.log(d0s / dh) + (d0s - dh) ** 2 / d0s),
-            0.0,
-        )
-        friction_basis = (lam_n, n_dir) if c.friction_mu > 0 else None
         static_cand = self._static_candidates(x) if self.static_tris is not None else None
 
-        energy = lambda xx: self._energy(
-            xx, x_tilde, scene, aim_pos, x, friction_basis, static_cand
-        )
+        def friction_lag(x_k):
+            # re-lagged every Newton iteration -> fully-implicit friction
+            # fixed point (see ipc.py friction_lag rationale)
+            if c.friction_mu <= 0:
+                return None
+            xs = jax.lax.stop_gradient(x_k)
+            d = sdf_fn(xs)
+            n = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(xs)
+            n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+            return (barrier_force_mag(d, c.kappa, c.d_hat), n)
+
+        def make_energy(friction_basis):
+            return lambda xx: self._energy(
+                xx, x_tilde, scene, aim_pos, x, friction_basis, static_cand
+            )
 
         d_floor = jnp.minimum(sdf_fn(x).min(), 0.0)
+        # no-worsening floor for static trimesh colliders (see ipc.py)
+        if static_cand is not None:
+            s_floor = jnp.minimum(
+                0.999 * self._static_distance(x, static_cand).min(), 1e-7
+            )
 
         def feasible(xx, x_from):
             ok = sdf_fn(xx).min() > d_floor
             if static_cand is not None:
-                ok = ok & (self._static_distance(xx, static_cand).min() > 1e-7)
+                ok = ok & (self._static_distance(xx, static_cand).min() > s_floor)
                 tri = self.static_tris[static_cand]  # (V, K, 3, 3)
                 crossed = _segment_crosses_triangle(
                     x_from[:, None, :], xx[:, None, :],
@@ -318,6 +325,7 @@ class ShellModel:
 
         def newton_iter(_, carry):
             x_k, done = carry
+            energy = make_energy(friction_lag(x_k))
             grad = jax.grad(energy)(x_k)
             hvp = lambda p: jax.jvp(jax.grad(energy), (x_k,), (p,))[1]
 

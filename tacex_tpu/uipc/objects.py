@@ -38,7 +38,15 @@ class StableNeoHookeanCfg:
 
 @configclass
 class AffineBodyConstitutionCfg:
-    """Affine/rigid constitution (reference uipc_object.py:66-73)."""
+    """Affine/rigid constitution (reference uipc_object.py:66-73).
+
+    ``kinematic=True`` bodies are held at their pose by a strong soft
+    constraint AND baked into the FEM/shell solvers' static triangle soup at
+    their CONSTRUCTION pose — a kinematic collider that is meant to move
+    (motor/provider) must instead be a dynamic body in the unified contact
+    world (UipcSimCfg.contact.unified_fem_abd), where its current pose is
+    seen by soft bodies every step.
+    """
 
     m_kappa: float = 100.0  # MPa
     kinematic: bool = False
@@ -78,6 +86,21 @@ class UipcObjectCfg:
             self.mesh_cfg = TetMeshCfg()
         if self.constitution is None:
             self.constitution = StableNeoHookeanCfg()
+
+
+def _fit_affine_pose(rest: np.ndarray, pos: jax.Array) -> jax.Array:
+    """Least-squares affine fit: rest (V, 3), pos (..., V, 3) -> q (..., 12)
+    with x = A p + t (row-of-A layout, abd.q_to_affine convention)."""
+    rest = jnp.asarray(rest, jnp.float32)
+    rc = rest.mean(0)
+    Pc = rest - rc
+    xc = pos.mean(-2)
+    Xc = pos - xc[..., None, :]
+    M = jnp.einsum("...vi,vj->...ij", Xc, Pc)  # (..., 3, 3)
+    C = Pc.T @ Pc + 1e-12 * jnp.eye(3)
+    A = M @ jnp.linalg.inv(C)
+    t = xc - jnp.einsum("...ij,j->...i", A, rc)
+    return jnp.concatenate([t, A.reshape(A.shape[:-2] + (9,))], axis=-1)
 
 
 class UipcObject:
@@ -254,7 +277,12 @@ class UipcObject:
     def write_vertex_positions_to_sim(self, positions: jax.Array, env_mask: jax.Array | None = None):
         """Reset mechanism (reference forked write_vertex_pos_to_sim)."""
         if self.is_affine_body:
-            self.sim.reset_abd_object(self, env_mask)
+            # Affine bodies carry 12 DOFs, not vertices: honor the caller's
+            # positions by writing the BEST-FIT affine pose (least-squares
+            # (A, t) vs the rest points — exact whenever ``positions`` is an
+            # affine transform of them, e.g. a randomized reset pose).
+            q = _fit_affine_pose(self.mesh.points, jnp.asarray(positions))
+            self.sim.write_abd_pose(self, q, env_mask)
             return
         if env_mask is None:
             x = jnp.broadcast_to(positions, self.state.x.shape)

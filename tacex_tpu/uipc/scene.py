@@ -84,12 +84,26 @@ class _RigidEntity:
 
     def __init__(self, cfg: RigidObjectCfg, num_envs: int):
         self.cfg = cfg
-        self.params = SphereParams(
-            radius=float(cfg.size[0]) if cfg.shape == "sphere" else 0.0,
-            mass=cfg.mass,
-            friction=cfg.friction,
+        # contact params exist only for spheres: SphereParams.inv_inertia
+        # divides by r^2, so a radius-0 placeholder for box/plane shapes
+        # would hand inf to any consumer (advisor round-2 finding)
+        self.params = (
+            SphereParams(radius=float(cfg.size[0]), mass=cfg.mass, friction=cfg.friction)
+            if cfg.shape == "sphere"
+            else None
         )
         self.reset(num_envs)
+
+    def integrate(self, dt: float, gravity, force=None) -> None:
+        """Symplectic-Euler free dynamics for a non-kinematic sphere; the
+        soft solver's barrier reaction enters through ``force`` (N, 3)."""
+        if self.cfg.kinematic or self.cfg.shape != "sphere":
+            return
+        acc = jnp.asarray(gravity, jnp.float32)
+        if force is not None:
+            acc = acc + force / self.cfg.mass
+        self.lin_vel = self.lin_vel + dt * acc
+        self.pos = self.pos + dt * self.lin_vel
 
     def reset(self, num_envs: int) -> None:
         self.pos = jnp.broadcast_to(
@@ -194,10 +208,40 @@ class UipcInteractiveScene:
         reference uipc_sim.py:228-252) against the rigid entities plus any
         extra ``colliders``."""
         scene = colliders if colliders is not None else RigidSdfScene.empty(self.cfg.num_envs)
-        for r in self._rigid_objects.values():
+        sphere_slot: dict[str, int] = {}
+        for name, r in self._rigid_objects.items():
+            if r.cfg.shape == "sphere":
+                sphere_slot[name] = scene.spheres.shape[1]
             scene = r.as_scene_collider(scene)
         if self.uipc_sim.objects:
             self.uipc_sim.step(scene)
+        # two-way coupling for dynamic (non-kinematic) spheres: the gel's
+        # barrier reaction (action-reaction on the shared potential) plus
+        # gravity; kinematic entities stay pure colliders
+        dyn = [
+            (name, r)
+            for name, r in self._rigid_objects.items()
+            if r.cfg.shape == "sphere" and not r.cfg.kinematic
+        ]
+        if dyn:
+            forces = None
+            sim = self.uipc_sim
+            models = []
+            if sim._union_model is not None:
+                models.append((sim._union_model, sim._union_state))
+            else:
+                models.extend(
+                    (o.model, o.state)
+                    for o in sim.objects
+                    if o.model is not None and not (o.is_affine_body or o.is_shell)
+                )
+            for model, state in models:
+                f = model.sphere_contact_force(state, scene)  # (N, S, 3)
+                forces = f if forces is None else forces + f
+            dt, g = sim.cfg.dt, sim.cfg.gravity
+            for name, r in dyn:
+                f = forces[:, sphere_slot[name]] if forces is not None else None
+                r.integrate(dt, g, f)
 
     # --------------------------------------------------------------- access
     @property

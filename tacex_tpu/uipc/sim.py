@@ -268,6 +268,30 @@ class UipcSim:
         """(N, 12) generalized pose [t | A-rows] of one affine body."""
         return self._abd_state.q[:, obj._abd_index]
 
+    def write_abd_pose(self, obj, q: jax.Array, env_mask=None) -> None:
+        """Set one affine body's 12-DOF pose directly (zeroing its velocity
+        and moving its constraint aim along) — the ABD half of the reference
+        write_vertex_pos_to_sim contract: the caller's positions are honored,
+        not silently replaced by the init pose (advisor round-2 finding)."""
+        from ..physics.soft.abd import AbdState
+
+        i = obj._abd_index
+        st = self._abd_state
+        q = jnp.broadcast_to(jnp.asarray(q, jnp.float32), st.q[:, i].shape)
+        if env_mask is None:
+            qn = st.q.at[:, i].set(q)
+            qd = st.qd.at[:, i].set(0.0)
+            aim = self._abd_aim_q.at[:, i].set(q)
+        else:
+            m = env_mask[:, None]
+            qn = st.q.at[:, i].set(jnp.where(m, q, st.q[:, i]))
+            qd = st.qd.at[:, i].set(jnp.where(m, 0.0, st.qd[:, i]))
+            aim = self._abd_aim_q.at[:, i].set(
+                jnp.where(m, q, self._abd_aim_q[:, i])
+            )
+        self._abd_state = AbdState(q=qn, qd=qd)
+        self._abd_aim_q = aim
+
     def reset_abd_object(self, obj, env_mask=None) -> None:
         from ..physics.soft.abd import AbdState
 
