@@ -62,21 +62,99 @@ def sdf_capsules(p: jax.Array, caps: jax.Array) -> jax.Array:
     return jnp.where(en[None, :] > 0.5, d, BIG)
 
 
+def sdf_threads(p: jax.Array, threads: jax.Array) -> jax.Array:
+    """(P, 3) points vs (T, 12) helical threads -> (P, T) signed distances.
+
+    Analytic ISO-like thread surface (the real asset geometry the reference's
+    Factory NutThread/GearMesh run against via PhysX SDF collision,
+    factory_env_cfg.py:192-213) — a triangular thread profile swept along a
+    helix, evaluated in helicoidal coordinates where the surface is exactly
+    a 2D periodic polyline:
+
+      u = z - pitch * theta / 2pi   (helix-following axial coordinate)
+      fold u to u' in [0, pitch/2] (the profile is mirror-periodic), then
+      the surface is ONE straight flank segment from (0, r_mid + s*depth/2)
+      to (pitch/2, r_mid - s*depth/2); distance = 2D point-segment distance
+      in the (u, r) half-plane. The neglected arc-direction foreshortening
+      is O(helix angle^2) — well under d_hat for machine-screw pitches.
+
+    Layout per thread: [base(3), axis(3), r_mid, depth, pitch, z0, z1, side]
+    with side = +1 an EXTERNAL thread (bolt: material inside the surface),
+    side = -1 an INTERNAL thread (nut bore: material outside), side = 0
+    disabled. Outside the threaded span [z0, z1] the depth ramps to zero
+    over pitch/2, leaving a smooth r_mid cylinder (bolt shank / bore).
+    """
+    base, axis = threads[:, 0:3], threads[:, 3:6]
+    r_mid, depth, pitch = threads[:, 6], threads[:, 7], threads[:, 8]
+    z0, z1, side = threads[:, 9], threads[:, 10], threads[:, 11]
+    axis = axis / _safe_norm(axis)[..., None]
+    # orthonormal frame per thread (deterministic, smooth: seed with the
+    # world axis least aligned with the thread axis)
+    seed = jnp.where(
+        (jnp.abs(axis[:, 0]) < 0.9)[:, None],
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), axis.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), axis.shape),
+    )
+    b1 = jnp.cross(axis, seed)
+    b1 = b1 / _safe_norm(b1)[..., None]
+    b2 = jnp.cross(axis, b1)
+
+    rel = p[:, None, :] - base[None, :, :]  # (P, T, 3)
+    z = jnp.einsum("ptk,tk->pt", rel, axis)
+    x1 = jnp.einsum("ptk,tk->pt", rel, b1)
+    x2 = jnp.einsum("ptk,tk->pt", rel, b2)
+    r2 = x1 * x1 + x2 * x2
+    rr = jnp.sqrt(r2 + 1e-20)
+    # NaN-free atan2 gradient at the axis (see _safe_norm rationale)
+    on_axis = r2 < 1e-16
+    theta = jnp.arctan2(
+        jnp.where(on_axis, 0.0, x2), jnp.where(on_axis, 1.0, x1)
+    )
+
+    pitch_s = jnp.maximum(pitch, 1e-9)[None, :]
+    u = z - pitch_s * theta / (2.0 * jnp.pi)
+    f = u / pitch_s - jnp.floor(u / pitch_s)  # frac in [0, 1)
+    uf = jnp.minimum(f, 1.0 - f) * pitch_s  # folded to [0, pitch/2]
+
+    # depth ramp outside the threaded span
+    ramp = jnp.clip(
+        1.0 + jnp.minimum(z - z0[None, :], z1[None, :] - z) / (0.5 * pitch_s),
+        0.0,
+        1.0,
+    )
+    half_d = 0.5 * depth[None, :] * ramp * side[None, :]  # signed crest offset
+
+    # 2D distance to flank segment A=(0, r_mid+half_d) -> B=(pitch/2, r_mid-half_d)
+    ax_, ay = 0.0, r_mid[None, :] + half_d
+    bx, by = 0.5 * pitch_s, r_mid[None, :] - half_d
+    ex, ey = bx - ax_, by - ay
+    px_, py = uf - ax_, rr - ay
+    t = jnp.clip((px_ * ex + py * ey) / (ex * ex + ey * ey + 1e-20), 0.0, 1.0)
+    dx, dy = px_ - t * ex, py - t * ey
+    dist = jnp.sqrt(dx * dx + dy * dy + 1e-20)
+    # free space: r beyond the profile on the +side direction
+    R_prof = ay + (by - ay) * (uf / (0.5 * pitch_s))
+    sign = jnp.sign(side[None, :] * (rr - R_prof))
+    d = sign * dist
+    return jnp.where(side[None, :] != 0, d, BIG)
+
+
 def scene_sdf(
     p: jax.Array,  # (P, 3)
     spheres: jax.Array,
     boxes: jax.Array,
     capsules: jax.Array,
     planes: jax.Array,
+    threads: jax.Array | None = None,
 ) -> jax.Array:
     """(P,) min signed distance of each point to the primitive soup."""
-    d = jnp.concatenate(
-        [
-            sdf_spheres(p, spheres),
-            sdf_boxes(p, boxes),
-            sdf_capsules(p, capsules),
-            sdf_planes(p, planes),
-        ],
-        axis=-1,
-    )
+    parts = [
+        sdf_spheres(p, spheres),
+        sdf_boxes(p, boxes),
+        sdf_capsules(p, capsules),
+        sdf_planes(p, planes),
+    ]
+    if threads is not None:
+        parts.append(sdf_threads(p, threads))
+    d = jnp.concatenate(parts, axis=-1)
     return d.min(axis=-1)

@@ -258,8 +258,7 @@ class AbdModel:
         inertia = (0.5 / c.dt**2) * jnp.sum(dq * jnp.einsum("bij,bj->bi", self.mass, dq))
         ortho = self._ortho_energy(q)
         x = self.world_points(q)
-        d = sdf_ops.scene_sdf(x, scene.spheres, scene.boxes, scene.capsules, scene.planes)
-        contact = self._barrier(d)
+        contact = self._barrier(scene.sdf(x))
         if cand is not None:
             ci, valid = cand
             d_vt = self._pair_distances(x, ci)
@@ -380,10 +379,7 @@ class AbdModel:
 
         # 4. scene contact + scene friction: per-vertex 3x3 point Hessians
         def phi_scene(p):
-            d = sdf_ops.scene_sdf(
-                p[None], scene.spheres, scene.boxes, scene.capsules, scene.planes
-            )[0]
-            return self._barrier_scalar(d)
+            return self._barrier_scalar(scene.sdf(p[None])[0])
 
         G_c = jax.vmap(jax.hessian(phi_scene))(x)  # (Vt, 3, 3)
         if friction_basis is not None:
@@ -497,15 +493,13 @@ class AbdModel:
         q_tilde = q + c.dt * qd + c.dt**2 * jnp.einsum("bij,bj->bi", self.mass_inv, self.gravity_q)
 
         x0 = self.world_points(q)
-        sdf_fn = lambda p: sdf_ops.scene_sdf(
-            p, scene.spheres, scene.boxes, scene.capsules, scene.planes
-        )
+        sdf_fn = scene.sdf
         dh = c.d_hat
         cand = self._select_candidates(x0) if c.contact_k > 0 else None
         A0, t0 = q_to_affine(q)  # step-start pose: friction anchors map here
         B = self.num_bodies
 
-        def friction_lag(qf_k):
+        def friction_lag(qf_k, stop=True):
             """Friction quantities from the CURRENT Newton iterate (see
             ipc.py friction_lag — per-iteration re-lagging is the fixed
             point of fully-implicit friction). Slip anchors (p_local) are
@@ -514,7 +508,7 @@ class AbdModel:
             step like the vertex displacement does."""
             if c.friction_mu <= 0:
                 return None, None
-            q_k = jax.lax.stop_gradient(qf_k).reshape(B, 12)
+            q_k = (jax.lax.stop_gradient(qf_k) if stop else qf_k).reshape(B, 12)
             x_k = self.world_points(q_k)
             d = sdf_fn(x_k)
             n = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(x_k)
@@ -562,9 +556,25 @@ class AbdModel:
                 ok = ok & ~(crossed & valid).any()
             return ok
 
+        # straight-through lag: primal from the iterate, tangent from the
+        # step-start lag's smooth input dependence — float leaves only
+        # (indices/masks pass through; see ipc.py lag_st rationale)
+        lag0 = friction_lag(q.reshape(-1), stop=False)
+
+        def lag_st(qf_k):
+            if c.friction_mu <= 0:
+                return None, None
+
+            def comb(it, s0):
+                if not jnp.issubdtype(it.dtype, jnp.floating):
+                    return it
+                return s0 + jax.lax.stop_gradient(it - s0)
+
+            return jax.tree_util.tree_map(comb, friction_lag(qf_k), lag0)
+
         def newton_iter(_, carry):
             qf, done = carry
-            friction_basis, pair_friction = friction_lag(qf)
+            friction_basis, pair_friction = lag_st(qf)
             energy_flat = make_energy(friction_basis, pair_friction)
             grad = jax.grad(energy_flat)(qf)
             if c.analytic_hessian:
@@ -625,13 +635,8 @@ class AbdModel:
         elif aim_strength.ndim == 2:
             aim_strength = jnp.broadcast_to(aim_strength[..., None], (n, B, 12))
 
-        def one(q, qd, sph, box, cap, pl, aq, astr):
-            sc = RigidSdfScene(sph, box, cap, pl)
-            return self._step_single(q, qd, sc, aq, astr)
-
-        q, qd = jax.vmap(one)(
-            state.q, state.qd, scene.spheres, scene.boxes, scene.capsules, scene.planes,
-            aim_q, aim_strength,
+        q, qd = jax.vmap(self._step_single)(
+            state.q, state.qd, scene, aim_q, aim_strength
         )
         return AbdState(q=q, qd=qd)
 

@@ -222,20 +222,32 @@ class SoftBodyState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RigidSdfScene:
-    """Per-env analytic rigid colliders (same capacities across envs)."""
+    """Per-env analytic rigid colliders (same capacities across envs).
+
+    ``threads`` (optional, (N, T, 12)) are helical thread surfaces —
+    bolt shafts / nut bores for the Factory tasks (sdf_ops.sdf_threads).
+    """
 
     spheres: jax.Array  # (N, S, 4)
     boxes: jax.Array  # (N, B, 10)
     capsules: jax.Array  # (N, C, 8)
     planes: jax.Array  # (N, P, 4)
+    threads: jax.Array | None = None  # (N, T, 12)
 
     @staticmethod
-    def empty(num_envs: int, s=1, b=1, c=1, p=1) -> "RigidSdfScene":
+    def empty(num_envs: int, s=1, b=1, c=1, p=1, t=0) -> "RigidSdfScene":
         return RigidSdfScene(
             spheres=jnp.zeros((num_envs, s, 4)),
             boxes=jnp.zeros((num_envs, b, 10)),
             capsules=jnp.zeros((num_envs, c, 8)),
             planes=jnp.zeros((num_envs, p, 4)),
+            threads=jnp.zeros((num_envs, t, 12)) if t else None,
+        )
+
+    def sdf(self, p: jax.Array) -> jax.Array:
+        """(P,) scene signed distance (single-env view: fields (S, ...))."""
+        return sdf_ops.scene_sdf(
+            p, self.spheres, self.boxes, self.capsules, self.planes, self.threads
         )
 
 
@@ -351,8 +363,7 @@ class SoftBodyModel:
         inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
         elastic = stable_neo_hookean_energy(x, self.tets, self.dm_inv, self.rest_vol, self.mu, self.lam)
         xs = x[self.surface_verts]
-        d = sdf_ops.scene_sdf(xs, scene.spheres, scene.boxes, scene.capsules, scene.planes)
-        contact = self._barrier(d)
+        contact = self._barrier(scene.sdf(xs))
         if self_cand is not None:
             cand, valid = self_cand
             d_vt = self._pair_distances(x, cand)
@@ -391,9 +402,7 @@ class SoftBodyModel:
         x_tilde = x + c.dt * v + c.dt * c.dt * g
 
         xs0 = x[self.surface_verts]
-        sdf_fn = lambda p: sdf_ops.scene_sdf(
-            p, scene.spheres, scene.boxes, scene.capsules, scene.planes
-        )
+        sdf_fn = scene.sdf
 
         # FEM-FEM / self contact: fixed-capacity candidate set for this step
         self_cand = self._select_candidates(x) if c.self_contact_k > 0 else None
@@ -401,7 +410,7 @@ class SoftBodyModel:
             self._static_candidates(xs0) if self.static_tris is not None else None
         )
 
-        def friction_lag(x_k):
+        def friction_lag(x_k, stop=True):
             """(lambda_n, normal) recomputed from the CURRENT Newton iterate
             (stop-gradient). Re-lagging every iteration is the fixed-point
             scheme that converges to fully-implicit friction (libuipc's
@@ -411,11 +420,29 @@ class SoftBodyModel:
             screw-and-nut limitation)."""
             if c.friction_mu <= 0:
                 return None
-            xs = jax.lax.stop_gradient(x_k)[self.surface_verts]
+            xs = (jax.lax.stop_gradient(x_k) if stop else x_k)[self.surface_verts]
             d = sdf_fn(xs)
             n = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(xs)
             n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
             return (barrier_force_mag(d, c.kappa, c.d_hat), n)
+
+        # Straight-through lag for diff-sim: primal value = per-iteration
+        # re-lag (implicit-friction fixed point), tangent = the step-start
+        # lag's smooth dependence on the inputs. Differentiating through the
+        # iterate-lag recurrence amplifies the stiff dlambda/dd path each
+        # Newton iteration (measured: unrolled gradient flips sign, 19x off
+        # FD); stop-gradient alone cuts the friction sensitivity entirely
+        # (measured: 10x under FD). Anchoring the tangent at the step-start
+        # lag keeps both the primal fix and the round-1 gradient quality.
+        lag0 = friction_lag(x, stop=False)
+
+        def lag_st(x_k):
+            if lag0 is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda it, s0: s0 + jax.lax.stop_gradient(it - s0),
+                friction_lag(x_k), lag0,
+            )
 
         def make_energy(friction_basis):
             return lambda xx: self._energy(
@@ -467,7 +494,7 @@ class SoftBodyModel:
 
         def newton_iter(_, carry):
             x_k, done = carry
-            energy = make_energy(friction_lag(x_k))
+            energy = make_energy(lag_st(x_k))
             grad = jax.grad(energy)(x_k)
 
             hvp = lambda p: jax.jvp(jax.grad(energy), (x_k,), (p,))[1]
@@ -530,13 +557,7 @@ class SoftBodyModel:
         if aim_pos is None:
             aim_pos = jnp.zeros((n, max(int(self.attachment_verts.shape[0]), 1), 3))
 
-        def one(x, v, sph, box, cap, pl, aim):
-            sc = RigidSdfScene(sph, box, cap, pl)
-            return self._step_single(x, v, sc, aim)
-
-        x, v = jax.vmap(one)(
-            state.x, state.v, scene.spheres, scene.boxes, scene.capsules, scene.planes, aim_pos
-        )
+        x, v = jax.vmap(self._step_single)(state.x, state.v, scene, aim_pos)
         return SoftBodyState(x=x, v=v)
 
     def surface_positions(self, state: SoftBodyState) -> jax.Array:
@@ -553,16 +574,13 @@ class SoftBodyModel:
         no pair bookkeeping is needed.
         """
 
-        def one(x, sph, box, cap, pl):
+        def one(x, sc):
             xs = x[self.surface_verts]
 
             def eb(s):
-                d = sdf_ops.scene_sdf(xs, s, box, cap, pl)
-                return self._barrier(d)
+                return self._barrier(dataclasses.replace(sc, spheres=s).sdf(xs))
 
-            g = jax.grad(eb)(sph)  # (S, 4): d/d(center xyz), d/d(radius)
+            g = jax.grad(eb)(sc.spheres)  # (S, 4): d/d(center xyz), d/d(radius)
             return -g[:, :3]
 
-        return jax.vmap(one)(
-            state.x, scene.spheres, scene.boxes, scene.capsules, scene.planes
-        )
+        return jax.vmap(one)(state.x, scene)

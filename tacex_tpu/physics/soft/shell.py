@@ -251,8 +251,7 @@ class ShellModel:
         dx = x - x_tilde
         inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * dx * dx)
         elastic = self._membrane(x) + self._bending(x)
-        d = sdf_ops.scene_sdf(x, scene.spheres, scene.boxes, scene.capsules, scene.planes)
-        contact = self._barrier(d)
+        contact = self._barrier(scene.sdf(x))
         if static_cand is not None:
             contact = contact + self._barrier(self._static_distance(x, static_cand))
         attach = 0.0
@@ -281,21 +280,31 @@ class ShellModel:
         g = jnp.asarray(c.gravity, jnp.float32)
         x_tilde = x + c.dt * v + c.dt**2 * g
 
-        sdf_fn = lambda p: sdf_ops.scene_sdf(
-            p, scene.spheres, scene.boxes, scene.capsules, scene.planes
-        )
+        sdf_fn = scene.sdf
         static_cand = self._static_candidates(x) if self.static_tris is not None else None
 
-        def friction_lag(x_k):
+        def friction_lag(x_k, stop=True):
             # re-lagged every Newton iteration -> fully-implicit friction
             # fixed point (see ipc.py friction_lag rationale)
             if c.friction_mu <= 0:
                 return None
-            xs = jax.lax.stop_gradient(x_k)
+            xs = jax.lax.stop_gradient(x_k) if stop else x_k
             d = sdf_fn(xs)
             n = jax.vmap(jax.grad(lambda p: sdf_fn(p[None])[0]))(xs)
             n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
             return (barrier_force_mag(d, c.kappa, c.d_hat), n)
+
+        # straight-through lag: primal from the iterate, tangent from the
+        # step-start lag (see ipc.py lag_st rationale)
+        lag0 = friction_lag(x, stop=False)
+
+        def lag_st(x_k):
+            if lag0 is None:
+                return None
+            return jax.tree_util.tree_map(
+                lambda it, s0: s0 + jax.lax.stop_gradient(it - s0),
+                friction_lag(x_k), lag0,
+            )
 
         def make_energy(friction_basis):
             return lambda xx: self._energy(
@@ -325,7 +334,7 @@ class ShellModel:
 
         def newton_iter(_, carry):
             x_k, done = carry
-            energy = make_energy(friction_lag(x_k))
+            energy = make_energy(lag_st(x_k))
             grad = jax.grad(energy)(x_k)
             hvp = lambda p: jax.jvp(jax.grad(energy), (x_k,), (p,))[1]
 
@@ -382,14 +391,7 @@ class ShellModel:
         if aim_pos is None:
             aim_pos = jnp.zeros((n, self.attachment_verts.shape[0], 3))
 
-        def one(x, v, sph, box, cap, pl, aim):
-            sc = RigidSdfScene(sph, box, cap, pl)
-            return self._step_single(x, v, sc, aim)
-
-        x, v = jax.vmap(one)(
-            state.x, state.v, scene.spheres, scene.boxes, scene.capsules, scene.planes,
-            aim_pos,
-        )
+        x, v = jax.vmap(self._step_single)(state.x, state.v, scene, aim_pos)
         return SoftBodyState(x=x, v=v)
 
     def surface_positions(self, state: SoftBodyState) -> jax.Array:
