@@ -71,6 +71,14 @@ class UipcSimCfg:
         self_contact_k: int = 0
         # affine-body-vs-affine-body candidates (same scheme, ABD system)
         abd_contact_k: int = 8
+        # FEM<->ABD cross-system candidates per vertex (both directions) for
+        # the unified contact world (physics/soft/coupled.py). When a scene
+        # contains FEM objects AND affine bodies, all of them join ONE
+        # Newton solve with cross barriers — libuipc's single contact world
+        # over its FiniteElementMethod/AffineBodyDynamics subsystems
+        # (reference uipc_sim.py:204-208). 0 falls back to split solves
+        # (ABD bodies then only meet FEM through analytic scene SDFs).
+        coupling_k: int = 4
 
     newton: "UipcSimCfg.Newton" = None
     linear_system: "UipcSimCfg.LinearSystem" = None
@@ -143,6 +151,7 @@ class UipcSim:
         self._abd_state = None
         self._abd_aim_q = None
         self._abd_objs: list[Any] = []
+        self._coupled = None
         self._frames: dict[int, list[SoftBodyState]] = {}
         self._frame_counter = 0
         self._timings: dict[str, float] = {}
@@ -165,29 +174,54 @@ class UipcSim:
         each object solves independently (cheaper; round-1 behavior).
 
         Affine bodies (AffineBodyConstitutionCfg) are gathered into ONE
-        batched AbdModel (12-DOF dense-Newton system, physics/soft/abd.py)
-        with body-body barrier contact — the AffineBodyDynamics subsystem of
-        libuipc. ABD bodies and FEM bodies currently interact only through
-        analytic scene SDFs, not through a shared contact world (the
-        reference's sample scenes are ABD-only or FEM-only, so this split
-        matches real usage).
+        batched AbdModel (12-DOF Newton system, physics/soft/abd.py) with
+        body-body barrier contact — the AffineBodyDynamics subsystem of
+        libuipc. When the scene contains BOTH FEM objects and affine bodies
+        (and contact.coupling_k > 0), everything joins a single coupled
+        Newton solve with FEM<->ABD cross barriers and friction — one
+        contact world across constitutions, like libuipc's
+        GlobalVertexManager over all subsystems (uipc_sim.py:204-208):
+        FEM gel pads can grasp and lift a dynamic affine body by friction.
+        Shell objects still solve separately and see kinematic affine
+        bodies as static trimesh colliders.
         """
         self._union_model = None
         self._union_state = None
+        self._coupled = None
         fem_objs = [
             o for o in self.objects if not (o.is_affine_body or o.is_shell)
         ]
         abd_objs = [o for o in self.objects if o.is_affine_body]
         shell_objs = [o for o in self.objects if o.is_shell]
-        # kinematic affine bodies act as STATIC trimesh colliders for both
-        # FEM and shell objects (the bunny-cloth pattern: fixed body + soft)
+        # kinematic affine bodies act as STATIC trimesh colliders for shell
+        # objects (the bunny-cloth pattern: fixed body + cloth); FEM objects
+        # meet affine bodies through the coupled world below when enabled
         static = [
             np.asarray(o.mesh.points, np.float32)[np.asarray(o.mesh.surface_tris)]
             for o in abd_objs
             if o.cfg.constitution.kinematic
         ]
         static_tris = np.concatenate(static) if static else None
-        if self.cfg.contact.self_contact_k > 0 and len(fem_objs) >= 2:
+        couple = (
+            self.cfg.contact.enable
+            and self.cfg.contact.coupling_k > 0
+            and fem_objs
+            and abd_objs
+        )
+        if couple:
+            from ..physics.soft.coupled import CoupledModel
+
+            # one union FEM model (no ABD static_tris — the bodies
+            # themselves are in the contact world, kinematic ones held by
+            # their strong soft-transform constraints)
+            self._setup_union(fem_objs, static_tris=None)
+            self._setup_abd(abd_objs)
+            self._coupled = CoupledModel(
+                self._union_model, self._abd_model,
+                cross_k=self.cfg.contact.coupling_k,
+            )
+            self._coupled_step_fn = jax.jit(self._coupled.step)
+        elif self.cfg.contact.self_contact_k > 0 and len(fem_objs) >= 2:
             self._setup_union(fem_objs, static_tris=static_tris)
         else:
             for obj in fem_objs:
@@ -195,7 +229,7 @@ class UipcSim:
         if shell_objs:
             for obj in shell_objs:
                 obj._finalize(self, static_tris=static_tris)
-        if abd_objs:
+        if abd_objs and not couple:
             self._setup_abd(abd_objs)
         if self.cfg.sanity_check:
             self._sanity_check()
@@ -421,26 +455,21 @@ class UipcSim:
                 [scene.planes, jnp.broadcast_to(jnp.asarray(plane), (n, 1, 4))], axis=1
             )
             scene = dataclasses.replace(scene, planes=planes)
-        if self._union_model is not None:
-            aim = None
-            if self._union_aim_objs:
-                # EVERY attached object contributes aim rows (the union
-                # model's attachment_verts covers them all): providers give
-                # live targets, provider-less attachments hold their initial
-                # positions — falling through to None would pull every
-                # anchored vertex toward the world origin.
-                aims = [
-                    (
-                        o._aim_provider()
-                        if o._aim_provider is not None
-                        else jnp.broadcast_to(
-                            jnp.asarray(o.init_vertex_pos[o._attachment_verts]),
-                            (self.cfg.num_envs, len(o._attachment_verts), 3),
-                        )
-                    )
-                    for o in self._union_aim_objs
-                ]
-                aim = jnp.concatenate(aims, axis=1)
+        if self._coupled is not None:
+            # ONE Newton solve over FEM + ABD (unified contact world)
+            aim = self._union_aim()
+            abd_aim = self._advance_abd_aims()
+            self._union_state, self._abd_state = self._coupled_step_fn(
+                self._union_state, self._abd_state, scene, aim,
+                abd_aim, self._abd_strength,
+            )
+            for obj in self._union_objs:
+                obj._refresh_union_slice()
+            for obj in self.objects:
+                if obj.is_shell:
+                    obj._advance(scene)
+        elif self._union_model is not None:
+            aim = self._union_aim()
             self._union_state = self._union_step_fn(self._union_state, scene, aim)
             for obj in self._union_objs:
                 obj._refresh_union_slice()
@@ -452,7 +481,7 @@ class UipcSim:
             for obj in self.objects:
                 if not obj.is_affine_body:
                     obj._advance(scene)
-        if self._abd_model is not None:
+        if self._abd_model is not None and self._coupled is None:
             self._advance_abd(scene)
         jax.block_until_ready(
             [o.state.x for o in self.objects if not o.is_affine_body]
@@ -463,7 +492,30 @@ class UipcSim:
         self._timings["step"] = time.perf_counter() - t0
         self._frame_counter += 1
 
-    def _advance_abd(self, scene: RigidSdfScene) -> None:
+    def _union_aim(self) -> jax.Array | None:
+        """Aim rows for the union FEM model's attachment vertices.
+
+        EVERY attached object contributes aim rows (the union model's
+        attachment_verts covers them all): providers give live targets,
+        provider-less attachments hold their initial positions — falling
+        through to None would pull every anchored vertex toward the world
+        origin."""
+        if not self._union_aim_objs:
+            return None
+        aims = [
+            (
+                o._aim_provider()
+                if o._aim_provider is not None
+                else jnp.broadcast_to(
+                    jnp.asarray(o.init_vertex_pos[o._attachment_verts]),
+                    (self.cfg.num_envs, len(o._attachment_verts), 3),
+                )
+            )
+            for o in self._union_aim_objs
+        ]
+        return jnp.concatenate(aims, axis=1)
+
+    def _advance_abd_aims(self) -> jax.Array:
         from ..physics.soft.abd import rotate_target
 
         # advance motor targets / query providers (the Animation-closure
@@ -481,6 +533,10 @@ class UipcSim:
             elif obj._abd_aim_provider is not None:
                 aim = aim.at[:, i].set(obj._abd_aim_provider())
         self._abd_aim_q = aim
+        return aim
+
+    def _advance_abd(self, scene: RigidSdfScene) -> None:
+        aim = self._advance_abd_aims()
         self._abd_state = self._abd_step_fn(
             self._abd_state, scene, aim, self._abd_strength
         )

@@ -16,6 +16,7 @@ REPO = Path(__file__).resolve().parents[1]
 EXAMPLES = [
     "examples/falling_gel_cubes.py",
     "examples/single_uipc_attachment.py",
+    "examples/grasp_lift.py",
     "examples/libuipc_samples/hello_uipc.py",
     "examples/libuipc_samples/periodically_pressed_tetrahedron.py",
     "examples/libuipc_samples/ramp_sliding.py",
