@@ -44,11 +44,14 @@ from ...core.config import configclass
 from ...ops import sdf as sdf_ops
 from .ipc import (
     RigidSdfScene,
+    _edge_edge_distance,
+    _edge_pair_crossed,
     _point_triangle_closest,
     _point_triangle_distance,
     _segment_crosses_triangle,
     barrier_extended,
     barrier_force_mag,
+    edge_edge_mollifier,
 )
 
 
@@ -64,6 +67,13 @@ class AbdSolverCfg:
     friction_mu: float = 0.5
     eps_velocity: float = 0.01
     contact_k: int = 8  # body-body candidate triangles per surface vertex (0 = off)
+    # body-body EDGE-EDGE candidate edges per surface edge (0 = off).
+    # Vertex-triangle pairs alone hop thin features that meet edge-on
+    # (crossed rods, box edges, thread crests — the round-2 gap); real IPC
+    # resolves PT and EE pairs (libuipc's BVH pipeline, SURVEY §2.2 row 1).
+    # Barriers use the standard clamped segment-segment distance weighted by
+    # the parallel-edge mollifier (ipc.edge_edge_mollifier).
+    ee_contact_k: int = 4
     hessian_reg: float = 1e-6  # Tikhonov floor for the dense Newton solve
     # assemble the Newton Hessian analytically (J^T G J structure, see
     # _assemble_hessian) instead of jax.hessian. Verified identical to 1e-7;
@@ -205,6 +215,21 @@ class AbdModel:
         self.mass_inv = jnp.asarray(
             np.linalg.inv(np.stack(M_blocks) + 1e-9 * np.eye(12)), jnp.float32
         )
+        # unique surface edges (global vertex ids) for edge-edge pairs
+        tris_cat = np.concatenate(all_tris)
+        e_all = np.concatenate(
+            [tris_cat[:, [0, 1]], tris_cat[:, [1, 2]], tris_cat[:, [2, 0]]]
+        )
+        e_all.sort(axis=1)
+        edges = np.unique(e_all, axis=0)
+        self.edges = jnp.asarray(edges, jnp.int32)  # (E, 2)
+        pts_cat = np.concatenate(all_pts)
+        self.edge_body = jnp.asarray(
+            np.concatenate(body_of_vert)[edges[:, 0]], jnp.int32
+        )  # (E,)
+        elen2 = ((pts_cat[edges[:, 1]] - pts_cat[edges[:, 0]]) ** 2).sum(-1)
+        self._edge_len2 = jnp.asarray(elen2, jnp.float32)
+        self._edge_halflen = jnp.asarray(0.5 * np.sqrt(elen2), jnp.float32)
 
     # --------------------------------------------------------------- energies
     def world_points(self, q: jax.Array) -> jax.Array:
@@ -249,9 +274,48 @@ class AbdModel:
         d = jnp.sqrt(((x[:, None, :] - qp) ** 2).sum(-1) + 1e-18)
         return d, qp
 
+    # ----------------------------------------------------------- edge-edge
+    def _select_ee_candidates(self, x: jax.Array):
+        """K nearest HIGHER-body edges per surface edge (each unordered
+        body pair contributes its EE pairs once — candidates are restricted
+        to edges of bodies with a larger index, so (i,j) and (j,i) never
+        both appear)."""
+        k = min(self.cfg.ee_contact_k, self.edges.shape[0])
+        mid = x[self.edges].mean(-2)  # (E, 3)
+        d2 = ((mid[:, None, :] - mid[None]) ** 2).sum(-1)
+        mask = self.edge_body[:, None] >= self.edge_body[None, :]
+        d2 = jnp.where(mask, jnp.inf, d2)
+        neg, cand = jax.lax.top_k(-d2, k)
+        cut = 3.0 * self.cfg.d_hat + self._edge_halflen[:, None] + self._edge_halflen[cand]
+        valid = (-neg) < cut * cut
+        return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
+
+    def _ee_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+        pi = x[self.edges]  # (E, 2, 3)
+        pj = x[self.edges[cand]]  # (E, K, 2, 3)
+        return _edge_edge_distance(
+            pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
+        )
+
+    def _ee_barrier(self, x: jax.Array, ee_cand) -> jax.Array:
+        """Mollified edge-edge barrier sum (ipc.edge_edge_mollifier)."""
+        cand, valid = ee_cand
+        c = self.cfg
+        pi = x[self.edges]
+        pj = x[self.edges[cand]]
+        d = _edge_edge_distance(
+            pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
+        )
+        eps_x = 1e-3 * self._edge_len2[:, None] * self._edge_len2[cand]
+        m = edge_edge_mollifier(
+            pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :], eps_x
+        )
+        d = jnp.where(valid, d, 10.0 * c.d_hat)
+        return jnp.sum(m * barrier_extended(d, c.kappa_contact, c.d_hat))
+
     def _energy(
         self, q, q_tilde, scene, aim_q, aim_strength, x_prev, friction_basis, cand,
-        pair_friction=None,
+        pair_friction=None, ee_cand=None,
     ):
         c = self.cfg
         dq = q - q_tilde
@@ -264,6 +328,8 @@ class AbdModel:
             d_vt = self._pair_distances(x, ci)
             d_vt = jnp.where(valid, d_vt, 10.0 * c.d_hat)
             contact = contact + self._barrier(d_vt)
+        if ee_cand is not None:
+            contact = contact + self._ee_barrier(x, ee_cand)
         # soft transform / motor constraints: diagonal mass-scaled quadratic
         # with PER-DOF strengths (B, 12). A RotatingMotor constrains only the
         # rotational DOFs (a-rows) and leaves translation free — that is how
@@ -496,6 +562,11 @@ class AbdModel:
         sdf_fn = scene.sdf
         dh = c.d_hat
         cand = self._select_candidates(x0) if c.contact_k > 0 else None
+        ee_cand = (
+            self._select_ee_candidates(x0)
+            if (c.ee_contact_k > 0 and c.contact_k > 0 and self.num_bodies >= 2)
+            else None
+        )
         A0, t0 = q_to_affine(q)  # step-start pose: friction anchors map here
         B = self.num_bodies
 
@@ -531,12 +602,18 @@ class AbdModel:
         def make_energy(friction_basis, pair_friction):
             return lambda qf: self._energy(
                 qf.reshape(B, 12), q_tilde, scene, aim_q, aim_strength, x0,
-                friction_basis, cand, pair_friction,
+                friction_basis, cand, pair_friction, ee_cand,
             )
 
         # no-worsening floor when the step starts penetrated by a moved
         # kinematic collider (see ipc._step_single d_floor rationale)
         d_floor = jnp.minimum(sdf_fn(x0).min(), 0.0)
+        if ee_cand is not None:
+            eci, eval_ = ee_cand
+            ee_floor = jnp.minimum(
+                0.999 * jnp.where(eval_, self._ee_distances(x0, eci), 1.0).min(),
+                1e-7,
+            )
 
         def feasible(qf, qf_from):
             x = self.world_points(qf.reshape(B, 12))
@@ -554,6 +631,24 @@ class AbdModel:
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~(crossed & valid).any()
+            if ee_cand is not None:
+                eci2, evalid = ee_cand
+                d_ee = self._ee_distances(x, eci2)
+                ok = ok & (jnp.where(evalid, d_ee, 1.0).min() > ee_floor)
+                # EE crossing CCD: unsigned distances cannot see an edge
+                # passing through another edge within one trial
+                x_from = self.world_points(qf_from.reshape(B, 12))
+                pa = x_from[self.edges]
+                pja = x_from[self.edges[eci2]]
+                pb = x[self.edges]
+                pjb = x[self.edges[eci2]]
+                crossed = _edge_pair_crossed(
+                    pa[:, None, 0, :], pa[:, None, 1, :],
+                    pja[..., 0, :], pja[..., 1, :],
+                    pb[:, None, 0, :], pb[:, None, 1, :],
+                    pjb[..., 0, :], pjb[..., 1, :],
+                )
+                ok = ok & ~(crossed & evalid).any()
             return ok
 
         # straight-through lag: primal from the iterate, tangent from the
@@ -577,7 +672,10 @@ class AbdModel:
             friction_basis, pair_friction = lag_st(qf)
             energy_flat = make_energy(friction_basis, pair_friction)
             grad = jax.grad(energy_flat)(qf)
-            if c.analytic_hessian:
+            if c.analytic_hessian and ee_cand is None:
+                # the analytic J^T G J assembly predates EE pairs; with EE
+                # active fall back to the (default, measured-faster at
+                # sample scale anyway) fused autodiff Hessian
                 H = self._assemble_hessian(
                     qf.reshape(B, 12), q_tilde, scene, aim_strength, x0,
                     friction_basis, cand, pair_friction,

@@ -102,6 +102,100 @@ def _point_triangle_distance(p, a, b, c):
     return jnp.sqrt(((p - q) ** 2).sum(-1) + 1e-18)
 
 
+def _segment_segment_closest(p1, p2, q1, q2):
+    """Closest points between segments [p1,p2] and [q1,q2], broadcast over
+    leading dims (Ericson RTCD 5.1.9 as a branch-free jnp.where cascade).
+    Returns (cp, cq) — the closest point on each segment."""
+    d1, d2 = p2 - p1, q2 - q1
+    r = p1 - q1
+
+    def dot(u, v):
+        return (u * v).sum(-1)
+
+    a = dot(d1, d1)
+    e = dot(d2, d2)
+    f = dot(d2, r)
+    c = dot(d1, r)
+    b = dot(d1, d2)
+    # SCALE-INVARIANT parallelism guard: denom = a e - b^2 = a e sin^2(theta)
+    # in f32 is ~1e-14 (roundoff, units L^4) for exactly-parallel mm-scale
+    # edges — an absolute threshold either mis-takes the division branch
+    # (second derivative overflows -> NaN Hessians) or rejects genuine
+    # contacts. Normalize by a e so the guard is sin^2(theta) > 1e-4
+    # (~0.6 deg); below it the s=0 endpoint solve is exact enough and the
+    # parallel-edge mollifier kills the pair's barrier anyway.
+    ae = jnp.maximum(a * e, 1e-30)
+    sin2 = jnp.maximum(1.0 - (b * b) / ae, 0.0)
+    num_n = (b * f - c * e) / ae
+    s_gen = jnp.clip(num_n / jnp.maximum(sin2, 1e-4), 0.0, 1.0)
+    s = jnp.where(sin2 > 1e-4, s_gen, 0.0)
+    # t for that s, then clamp and recompute s (the standard two-pass fixup)
+    t = jnp.where(e > 1e-20, (b * s + f) / jnp.where(e > 1e-20, e, 1.0), 0.0)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s2 = jnp.where(a > 1e-20, (b * t_cl - c) / jnp.where(a > 1e-20, a, 1.0), 0.0)
+    s_cl = jnp.clip(s2, 0.0, 1.0)
+    s_fin = jnp.where((t != t_cl), s_cl, s)
+    cp = p1 + s_fin[..., None] * d1
+    cq = q1 + t_cl[..., None] * d2
+    return cp, cq
+
+
+def _edge_edge_distance(p1, p2, q1, q2):
+    """Unsigned distance between two segments (eps-padded sqrt for AD)."""
+    cp, cq = _segment_segment_closest(p1, p2, q1, q2)
+    return jnp.sqrt(((cp - cq) ** 2).sum(-1) + 1e-18)
+
+
+def _edge_pair_crossed(p1a, p2a, q1a, q2a, p1b, p2b, q1b, q2b, eps: float = 1e-3):
+    """True where edge pair (p, q) CROSSED between state a and state b.
+
+    The poor man's CCD for edge-edge barriers (counterpart of
+    _segment_crosses_triangle for PT pairs): the unsigned segment-segment
+    distance is positive again after a pass-through, so the line search
+    must reject trials whose signed line-line gap flips sign while the
+    mutual closest points lie within both segments. Near-parallel pairs
+    (sin^2 < 1e-4) are excluded — their gap sign is noise and their
+    barrier is mollified away anyway."""
+
+    def gap_params(p1, p2, q1, q2):
+        d1, d2 = p2 - p1, q2 - q1
+        n = jnp.cross(d1, d2)
+        nn = jnp.sqrt((n * n).sum(-1) + 1e-30)
+        g = ((q1 - p1) * n).sum(-1) / nn
+        r = p1 - q1
+        a = (d1 * d1).sum(-1)
+        e = (d2 * d2).sum(-1)
+        b = (d1 * d2).sum(-1)
+        c = (d1 * r).sum(-1)
+        f = (d2 * r).sum(-1)
+        ae = jnp.maximum(a * e, 1e-30)
+        sin2 = jnp.maximum(1.0 - (b * b) / ae, 0.0)
+        s = ((b * f - c * e) / ae) / jnp.maximum(sin2, 1e-4)
+        t = jnp.where(e > 1e-20, (b * s + f) / jnp.where(e > 1e-20, e, 1.0), 0.0)
+        return g, s, t, sin2
+
+    ga, _, _, _ = gap_params(p1a, p2a, q1a, q2a)
+    gb, sb, tb, sin2b = gap_params(p1b, p2b, q1b, q2b)
+    interior = (
+        (sb > -eps) & (sb < 1.0 + eps) & (tb > -eps) & (tb < 1.0 + eps)
+    )
+    return interior & (sin2b > 1e-4) & (ga * gb < 0)
+
+
+def edge_edge_mollifier(p1, p2, q1, q2, eps_x):
+    """IPC parallel-edge mollifier (Li et al. 2020 §4.2): the clamped
+    segment-segment distance is non-smooth when the edges are near-parallel
+    (the closest-point pair jumps), so the EE barrier is weighted by
+    m(c) = (2 - c/eps) * (c/eps) clamped at 1, with c = |d1 x d2|^2 and
+    eps_x ~ 1e-3 * |d1_rest|^2 |d2_rest|^2. Near-parallel contacts fade out
+    smoothly — their support is covered by neighboring point-triangle
+    pairs, matching libuipc's pair pipeline semantics."""
+    cr = jnp.cross(p2 - p1, q2 - q1)
+    c = (cr * cr).sum(-1)
+    x = c / jnp.maximum(eps_x, 1e-30)
+    return jnp.where(x < 1.0, x * (2.0 - x), 1.0)
+
+
 def _segment_crosses_triangle(p0, p1, a, b, c, eps: float = 1e-4):
     """True where the segment p0->p1 pierces triangle (a,b,c).
 
