@@ -15,11 +15,13 @@ Everything is batched over envs and jit-compatible: fixed-capacity sample
 points, `jax.grad` of the SDF for contact normals, semi-implicit Euler with
 substeps (contact stiffness ~2e4 N/m on a ~50 g part needs h <~ 1 ms).
 
-Nut threading: the thread is modeled as a kinematic screw coupling engaged
-once the nut sits on the bolt — descent is geared to accumulated yaw by the
-thread pitch (z = z_engage - pitch * dtheta / 2pi), with the matching
-reaction torque (power balance), standing in for the reference's
-RotatingMotor constraint (libuipc samples / factory NutThread).
+Nut threading: the bolt carries a REAL helical thread surface (the analytic
+ISO-like SDF of ops/sdf.py sdf_threads — the counterpart of the reference's
+PhysX SDF collision against the actual bolt mesh, factory_env_cfg.py:
+192-213), and the nut's contact samples lie on its internal thread tooth
+helix. Rotation-to-descent, cross-threading resistance and reaction torque
+all emerge from flank contact + friction; there is no engagement heuristic
+and no geared descent (the round-2 kinematic screw coupling is deleted).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core import maths
+from ...ops import sdf as sdf_ops
 
 
 # ---------------------------------------------------------------------------
@@ -90,11 +93,22 @@ def make_fixed_sdf(task_name: str, t) -> callable:
         return sdf
 
     if task_name == "nut_thread":
-        rb = t.hole_diameter / 2  # bolt shank radius
+        # REAL external thread on the bolt (analytic helical SDF), capped to
+        # the bolt's z-span by SDF intersection (max) — beyond the span the
+        # raw thread SDF ramps to an infinite shank cylinder
+        rb = t.hole_diameter / 2  # thread MID radius
+        thread = jnp.asarray(
+            [0.0, 0.0, 0.0, 0.0, 0.0, 1.0, rb, t.thread_depth, t.thread_pitch,
+             half[2], half[2] + t.hole_depth, 1.0],
+            jnp.float32,
+        )
+        z_lo, z_hi = half[2] - 1e-3, half[2] + t.hole_depth
 
         def sdf(p):
             base = _sdf_box(p, half)
-            bolt = _sdf_capped_cylinder(p, rb, half[2], half[2] + t.hole_depth)
+            d_thr = sdf_ops.sdf_threads(p[None], thread[None])[0, 0]
+            slab = jnp.maximum(z_lo - p[2], p[2] - z_hi)
+            bolt = jnp.maximum(d_thr, slab)
             table = p[2] - table_z
             return jnp.minimum(jnp.minimum(base, bolt), table)
 
@@ -106,7 +120,7 @@ def make_fixed_sdf(task_name: str, t) -> callable:
 # ---------------------------------------------------------------------------
 # held-asset surface sample points (local frame, z up, origin = asset BOTTOM)
 
-NUM_POINTS = 64
+NUM_POINTS = 96
 
 
 def make_held_points(task_name: str, t) -> np.ndarray:
@@ -138,15 +152,33 @@ def make_held_points(task_name: str, t) -> np.ndarray:
                 a = 2 * math.pi * (k + 0.5 * j) / n
                 pts.append([rr * math.cos(a), rr * math.sin(a), 0.0])
     elif task_name == "nut_thread":
-        rb = t.hole_diameter / 2 + 2e-4
+        # the nut's INTERNAL thread: sample its tooth-tip helix (the inward
+        # crest at r_mid_nut - depth/2, following z = pitch * theta / 2pi,
+        # right-handed like sdf_threads) — these are the points that ride
+        # the bolt's thread groove, so rotation-to-descent emerges from
+        # flank contact instead of a kinematic coupling
+        r_mid_n = t.hole_diameter / 2 + t.thread_clearance
+        r_tip = r_mid_n - t.thread_depth / 2
         ro, h = t.held_diameter / 2, t.held_height
-        for z, n in ((0.0, 14), (h, 14)):  # bore rim
-            for k in range(n):
-                a = 2 * math.pi * k / n
-                pts.append([rb * math.cos(a), rb * math.sin(a), z])
+        n_per_turn = 10
+        turns = h / t.thread_pitch
+        for k in range(int(n_per_turn * turns)):
+            a = 2 * math.pi * k / n_per_turn
+            z = t.thread_pitch * a / (2 * math.pi)
+            if z > h:
+                break
+            pts.append([r_tip * math.cos(a), r_tip * math.sin(a), z])
+        # mid-flank helix (half a pitch up, at mid radius) stabilizes the
+        # flank contact when the tip rides a groove wall
+        for k in range(int(n_per_turn * turns)):
+            a = 2 * math.pi * k / n_per_turn
+            z = t.thread_pitch * (a / (2 * math.pi) + 0.25)
+            if z > h:
+                break
+            pts.append([r_mid_n * math.cos(a), r_mid_n * math.sin(a), z])
         # bottom face is an ANNULUS (the bore is open — no center point, a
         # center sample would sit on the bolt top and block all descent)
-        for rr, n in ((0.55 * ro, 14), (0.85 * ro, 14)):
+        for rr, n in ((0.55 * ro, 10), (0.85 * ro, 10)):
             for k in range(n):
                 a = 2 * math.pi * k / n
                 pts.append([rr * math.cos(a), rr * math.sin(a), 0.0])
@@ -175,9 +207,6 @@ class HeldState:
     quat: jax.Array  # (N, 4) wxyz
     linvel: jax.Array  # (N, 3)
     angvel: jax.Array  # (N, 3) world frame
-    thread_theta: jax.Array  # (N,) accumulated yaw since thread engagement
-    thread_z0: jax.Array  # (N,) z at engagement
-    engaged: jax.Array  # (N,) bool thread engaged
 
     @staticmethod
     def init(num_envs: int) -> "HeldState":
@@ -186,9 +215,6 @@ class HeldState:
             quat=maths.quat_identity((num_envs,)),
             linvel=jnp.zeros((num_envs, 3)),
             angvel=jnp.zeros((num_envs, 3)),
-            thread_theta=jnp.zeros((num_envs,)),
-            thread_z0=jnp.zeros((num_envs,)),
-            engaged=jnp.zeros((num_envs,), bool),
         )
 
 
@@ -208,8 +234,6 @@ class ContactParams:
     cg: float = 20.0  # grasp translational damping
     kr: float = 4.0  # grasp rotational stiffness (N m/rad)
     cr: float = 0.05  # grasp rotational damping
-    thread_pitch: float = 0.002  # m per turn (nut task)
-    k_thread: float = 5.0e3
 
 
 def held_asset_step(
@@ -224,7 +248,6 @@ def held_asset_step(
     task_name: str,
     dt: float,
     substeps: int = 8,
-    thread_engage_z: jax.Array | None = None,  # (N,) bolt-top z (nut task)
 ):
     """Advance the held asset one env step under grasp + contact forces.
 
@@ -276,8 +299,6 @@ def held_asset_step(
 
     pos, quat = state.pos, state.quat
     linvel, angvel = state.linvel, state.angvel
-    engaged = state.engaged
-    thread_theta, thread_z0 = state.thread_theta, state.thread_z0
 
     c_force = jnp.zeros_like(pos)
     g_force = jnp.zeros_like(pos)
@@ -289,25 +310,9 @@ def held_asset_step(
         fg, tg = grasp_spring(pos, quat)
         force = fc + fg + jnp.array([0.0, 0.0, -9.81 * p.mass])
         torque = tc + tg
-
-        if task_name == "nut_thread":
-            # engage INSIDE the substep loop (checking once per env step lets
-            # the nut free-fall several mm past the bolt top before the
-            # threads catch): bore crossed the bolt top while centered
-            assert thread_engage_z is not None, "nut_thread needs thread_engage_z"
-            centered = jnp.linalg.norm(pos[:, :2] - fixed_pos[:, :2], axis=-1) < 0.004
-            newly = (~engaged) & centered & (pos[:, 2] <= thread_engage_z)
-            thread_z0 = jnp.where(newly, pos[:, 2], thread_z0)
-            thread_theta = jnp.where(newly, 0.0, thread_theta)
-            engaged = engaged | newly
-            # screw coupling once the nut rides the bolt: z tracks yaw
-            yaw_rate = angvel[:, 2]
-            z_cmd = thread_z0 - p.thread_pitch * thread_theta / (2 * math.pi)
-            f_thr = jnp.where(engaged, p.k_thread * (z_cmd - pos[:, 2]), 0.0)
-            force = force.at[:, 2].add(f_thr)
-            # reaction torque about z (power balance of the screw)
-            torque = torque.at[:, 2].add(-f_thr * p.thread_pitch / (2 * math.pi))
-            thread_theta = jnp.where(engaged, thread_theta - yaw_rate * h, thread_theta)
+        # nut threading needs no special case: the bolt SDF carries the real
+        # thread surface and the nut's samples ride it — rotation-to-descent
+        # and reaction torque are ordinary contact + friction
 
         # semi-implicit Euler with IMPLICIT grasp damping (cr/I * h > 2 would
         # blow up an explicit update; dividing by (1 + h c/m) is stable for
@@ -333,10 +338,7 @@ def held_asset_step(
         g_tau = g_tau + tg / substeps
         max_pen = jnp.maximum(max_pen, pen)
 
-    new_state = HeldState(
-        pos=pos, quat=quat, linvel=linvel, angvel=angvel,
-        thread_theta=thread_theta, thread_z0=thread_z0, engaged=engaged,
-    )
+    new_state = HeldState(pos=pos, quat=quat, linvel=linvel, angvel=angvel)
     diag = {
         "contact_force": c_force,
         "grasp_force": g_force,

@@ -75,6 +75,11 @@ class FactoryTaskCfg:
     engage_threshold: float = 0.9
     success_threshold: float = 0.04
     grip_depth: float = 0.02  # how far below the TCP the grasp line sits
+    # nut_thread geometry: REAL helical thread on the bolt (contact.py uses
+    # ops/sdf.py sdf_threads) and on the nut's internal samples
+    thread_pitch: float = 0.003  # m per turn
+    thread_depth: float = 0.0012  # radial depth crest-to-root
+    thread_clearance: float = 0.0003  # radial nut-to-bolt clearance
 
 
 def peg_insert_task() -> FactoryTaskCfg:
@@ -219,12 +224,6 @@ class FactoryEnv(DirectRLEnv):
         )
         return top
 
-    def _engage_z(self, state):
-        t = self.cfg.task
-        if t.name == "nut_thread":
-            return state.fixed_pos[:, 2] + t.fixed_size[2] / 2 + t.hole_depth
-        return None
-
     # ------------------------------------------------------------------ state
     def init_state(self, key: jax.Array) -> FactoryState:
         n = self.cfg.num_envs
@@ -290,9 +289,6 @@ class FactoryEnv(DirectRLEnv):
             quat=jnp.where(m1, grasp_quat, state.held.quat),
             linvel=jnp.where(m1, 0.0, state.held.linvel),
             angvel=jnp.where(m1, 0.0, state.held.angvel),
-            thread_theta=jnp.where(mask, 0.0, state.held.thread_theta),
-            thread_z0=jnp.where(mask, 0.0, state.held.thread_z0),
-            engaged=jnp.where(mask, False, state.held.engaged),
         )
         return FactoryState(
             arm=new_arm,
@@ -341,7 +337,6 @@ class FactoryEnv(DirectRLEnv):
             jnp.broadcast_to(down_quat, (n, 4)),
         )
 
-        engage_z = self._engage_z(state)
         zero_diag = {
             "contact_force": jnp.zeros((n, 3)),
             "grasp_force": jnp.zeros((n, 3)),
@@ -365,7 +360,6 @@ class FactoryEnv(DirectRLEnv):
             held, diag = contact.held_asset_step(
                 held, grasp_pos, grasp_quat, state.fixed_pos, state.fixed_quat,
                 self._pts, self._sdf, self._params, t.name, c.sim_dt,
-                thread_engage_z=engage_z,
             )
             return arm, held, diag
 
