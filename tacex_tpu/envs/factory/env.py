@@ -180,6 +180,14 @@ class FactoryEnv(DirectRLEnv):
         sensor_cfg = gelsight_mini_cfg(with_markers=False, camera_resolution=res, tactile_img_res=res)
         # one batched sensor evaluates both fingers: envs axis = 2N
         self.sensor = GelSightSensor(sensor_cfg, num_envs=2 * c.num_envs)
+        # the step loop re-creates sensor state every frame (the optical path
+        # is stateless); FOTS marker trajectories would silently never track
+        # under that pattern, so markers must stay off here (carry sensor
+        # state in FactoryState before enabling them)
+        assert sensor_cfg.marker_motion_sim_cfg is None, (
+            "Factory re-creates sensor state per step; enable markers only "
+            "after carrying GelSightSensorState in FactoryState"
+        )
         self._q0 = jnp.asarray(c.reset_joints, jnp.float32)
         self._ee_off = jnp.asarray([0.0, 0.0, art.HAND_TCP_OFFSET], jnp.float32)
         # keypoints along the held asset axis (factory_env.py:153-158)
