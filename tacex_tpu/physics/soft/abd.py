@@ -75,6 +75,16 @@ class AbdSolverCfg:
     # the parallel-edge mollifier (ipc.edge_edge_mollifier).
     ee_contact_k: int = 4
     hessian_reg: float = 1e-6  # Tikhonov floor for the dense Newton solve
+    # "dense": jax.hessian + jnp.linalg.solve — best at sample-scene scale
+    # (few bodies, 1 env; the (12B)^2 solve is one MXU tile). "cg":
+    # matrix-free conjugate gradient on Hessian-vector products with a
+    # per-body 12x12 block preconditioner (inertia + orthogonality +
+    # constraint, inverted once per step) — the dense Hessian's O((12B)^2)
+    # autodiff saturates the chip at N=1 (round-2 measurement: ~24 ms/env
+    # at N=8), so batched RL-scale ABD envs use CG, which scales in B and
+    # vmaps over envs like the FEM solver.
+    linear_solver: str = "dense"
+    cg_iters: int = 32
     # assemble the Newton Hessian analytically (J^T G J structure, see
     # _assemble_hessian) instead of jax.hessian. Verified identical to 1e-7;
     # MEASURED SLOWER at sample-scene sizes (28.6 vs 18.2 ms/step for a
@@ -667,34 +677,83 @@ class AbdModel:
 
             return jax.tree_util.tree_map(comb, friction_lag(qf_k), lag0)
 
+        # CG preconditioner: per-body 12x12 smooth-part inverse, once per
+        # step (inertia + orthogonality at the step start + constraints)
+        if c.linear_solver == "cg":
+
+            def ortho_b(a_flat, kap):
+                A = a_flat.reshape(3, 3)
+                R = A.T @ A - jnp.eye(3)
+                return kap * jnp.sum(R * R)
+
+            Hd = self.mass / c.dt**2
+            Hd = Hd.at[:, 3:, 3:].add(
+                jax.vmap(jax.hessian(ortho_b))(q[:, 3:].reshape(B, 9), self.kappa_ortho)
+            )
+            m_body = self.mass[:, 0, 0][:, None]
+            Hd = Hd + jax.vmap(jnp.diag)(aim_strength * m_body / c.dt**2)
+            Hd_inv = jnp.linalg.inv(Hd + 1e-6 * jnp.eye(12))  # (B, 12, 12)
+
+            def precond(r):
+                return jnp.einsum("bij,bj->bi", Hd_inv, r.reshape(B, 12)).reshape(-1)
+
         def newton_iter(_, carry):
             qf, done = carry
             friction_basis, pair_friction = lag_st(qf)
             energy_flat = make_energy(friction_basis, pair_friction)
             grad = jax.grad(energy_flat)(qf)
-            if c.analytic_hessian and ee_cand is None:
-                # the analytic J^T G J assembly predates EE pairs; with EE
-                # active fall back to the (default, measured-faster at
-                # sample scale anyway) fused autodiff Hessian
-                H = self._assemble_hessian(
-                    qf.reshape(B, 12), q_tilde, scene, aim_strength, x0,
-                    friction_basis, cand, pair_friction,
+            if c.linear_solver == "cg":
+                hvp = lambda pv: jax.jvp(jax.grad(energy_flat), (qf,), (pv,))[1]
+
+                def cg_body(_, cgc):
+                    p_dir, r, zv, xsol = cgc
+                    hp = hvp(p_dir)
+                    denom = jnp.sum(p_dir * hp)
+                    alpha = jnp.where(
+                        jnp.abs(denom) > 1e-20, jnp.sum(r * zv) / denom, 0.0
+                    )
+                    xsol = xsol + alpha * p_dir
+                    r_new = r - alpha * hp
+                    z_new = precond(r_new)
+                    beta = jnp.where(
+                        jnp.sum(r * zv) > 1e-20,
+                        jnp.sum(r_new * z_new) / jnp.sum(r * zv),
+                        0.0,
+                    )
+                    return (z_new + beta * p_dir, r_new, z_new, xsol)
+
+                r0 = -grad
+                z0 = precond(r0)
+                _, _, _, p = jax.lax.fori_loop(
+                    0, c.cg_iters, cg_body, (z0, r0, z0, jnp.zeros_like(qf))
                 )
+                descent = jnp.sum(p * grad) < 0
+                p = jnp.where(descent, p, -z0)
             else:
-                H = jax.hessian(energy_flat)(qf)
-            # PSD-ify with a PER-DOF relative Tikhonov shift. A max-diagonal
-            # scaled identity (reg * maxdiag * I) looks harmless but is not:
-            # when stiff barrier contacts push diagonal entries to ~1e10, a
-            # uniform shift of 1e4 swamps the SOFT directions (the coupled
-            # rotation+advance subspace of a motor-driven screw is ~1e1) and
-            # the Newton step collapses to zero there — the body jams solid
-            # against any contact. Shifting each DOF relative to its own
-            # curvature preserves the soft subspace.
-            diag = jnp.abs(jnp.diagonal(H))
-            Hr = H + jnp.diag(c.hessian_reg * (1.0 + diag)) + 1e-9 * jnp.eye(12 * B)
-            p = -jnp.linalg.solve(Hr, grad)
-            descent = jnp.sum(p * grad) < 0
-            p = jnp.where(descent, p, -grad / (1.0 + jnp.linalg.norm(grad)))
+                if c.analytic_hessian and ee_cand is None:
+                    # the analytic J^T G J assembly predates EE pairs; with
+                    # EE active fall back to the (default, measured-faster
+                    # at sample scale anyway) fused autodiff Hessian
+                    H = self._assemble_hessian(
+                        qf.reshape(B, 12), q_tilde, scene, aim_strength, x0,
+                        friction_basis, cand, pair_friction,
+                    )
+                else:
+                    H = jax.hessian(energy_flat)(qf)
+                # PSD-ify with a PER-DOF relative Tikhonov shift. A
+                # max-diagonal scaled identity (reg * maxdiag * I) looks
+                # harmless but is not: when stiff barrier contacts push
+                # diagonal entries to ~1e10, a uniform shift of 1e4 swamps
+                # the SOFT directions (the coupled rotation+advance subspace
+                # of a motor-driven screw is ~1e1) and the Newton step
+                # collapses to zero there — the body jams solid against any
+                # contact. Shifting each DOF relative to its own curvature
+                # preserves the soft subspace.
+                diag = jnp.abs(jnp.diagonal(H))
+                Hr = H + jnp.diag(c.hessian_reg * (1.0 + diag)) + 1e-9 * jnp.eye(12 * B)
+                p = -jnp.linalg.solve(Hr, grad)
+                descent = jnp.sum(p * grad) < 0
+                p = jnp.where(descent, p, -grad / (1.0 + jnp.linalg.norm(grad)))
 
             e0 = energy_flat(qf)
 

@@ -106,10 +106,13 @@ class TestParityVsReference:
         ours = np.asarray(tx.render(calib, jnp.asarray(hm), with_shadow=True))
         theirs = np.asarray(ref_taxim.render_direct(jnp.asarray(hm), with_shadow=True))
         err = np.abs(ours - theirs)
-        # Shadow attachment-region construction differs slightly (box-dilate
-        # centering); demand close agreement, not parity.
-        assert err.mean() < 8e-3, f"mean abs err {err.mean()}"
-        assert (err > 0.15).mean() < 0.02
+        # Round 3: box_dilate now anchors exactly like the reference's
+        # scipy-'same' ones-kernel convolution (even kernels anchor
+        # [i-k//2, i+(k-1)//2]); the residual is the compact pass's
+        # boundary-pixel ORDER inside ties of the scatter-min, worth a few
+        # counts along shadow edges (measured mean 3.1e-3, max 0.054).
+        assert err.mean() < 4e-3, f"mean abs err {err.mean()}"
+        assert err.max() < 0.1, f"max abs err {err.max()}"
 
     def test_flat_heightmap_close_to_reference(self, calib, ref_taxim):
         hm = np.full((1, RES[0], RES[1]), 2.0, dtype=np.float32)  # no contact
