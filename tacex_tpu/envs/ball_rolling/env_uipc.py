@@ -39,6 +39,7 @@ from ...core.config import configclass
 from ...physics.rigid import contact, franka
 from ...physics.soft.ipc import IpcSolverCfg, RigidSdfScene, SoftBodyModel, SoftBodyState
 from ...physics.soft.mesh import box_tet_mesh
+from ...render import mesh_raster
 from ...sensors.gelsight.fem import FemMarkerFlow, ManiSkillSimulatorCfg
 from .env import GELPAD_HALF, BallRollingEnv, BallRollingEnvCfg, BallRollingState
 
@@ -154,6 +155,52 @@ class BallRollingUipcEnv(BallRollingEnv):
             )
         else:
             self.embed = None
+
+        # ---- true textured-gelpad filming (obs_mode == "camera_rgb"): the
+        # sensor camera rasterizes the DEFORMED gel surface with per-vertex
+        # UVs and samples a marker texture — the reference's primvars:st
+        # filming (ui_extension.py:248-281; its primvars_st.npy + marker
+        # texture png are upstream git-lfs pointers, so the UV atlas is the
+        # rest-layout normalization and the texture is procedural dots at
+        # the FOTS marker grid). Replaces the round-2 dot-splat composite.
+        if getattr(cfg, "obs_mode", None) == "camera_rgb":
+            from ...physics.soft.embed import EmbeddedFaceGrid as _EFG
+            from ...sensors.gelsight.fots import marker_motion as fots_mm
+
+            if self.embed is not None:
+                film_rest, film_tris = self.embed.rest_points, self.embed.triangles
+                self._film_grid = None
+            else:
+                gh0, gw0 = self._contact_grid_ids.shape
+                self._film_grid = _EFG(
+                    np.asarray(self._contact_grid_ids), self.gel_mesh.points,
+                    (gh0, gw0),
+                )
+                film_rest = self._film_grid.rest_points
+                film_tris = self._film_grid.triangles
+            self._film_tris = jnp.asarray(film_tris)
+            hx, hy = GELPAD_HALF[0], GELPAD_HALF[1]
+            uv = np.stack(
+                [
+                    (film_rest[:, 0] + hx) / (2 * hx),
+                    (film_rest[:, 1] + hy) / (2 * hy),
+                ],
+                -1,
+            ).astype(np.float32)
+            self._film_uv = jnp.asarray(uv)
+            mc = fots_mm.FOTSMarkerCfg()
+            tex = np.full((mc.tactile_img_height, mc.tactile_img_width, 3), 0.6, np.float32)
+            grid = np.asarray(fots_mm.init_marker_grid(mc))
+            yy0, xx0 = np.mgrid[0 : mc.tactile_img_height, 0 : mc.tactile_img_width]
+            for mx, my in grid:
+                d2 = (xx0 - mx) ** 2 + (yy0 - my) ** 2
+                tex[d2 <= (1.5 * mc.marker_dot_radius_px) ** 2] = 0.15
+            self._film_tex = jnp.asarray(tex)
+            vh, vw, _ = cfg.vision_obs_shape
+            px = np.linspace(-hx, hx, vw, dtype=np.float32)
+            py = np.linspace(-hy, hy, vh, dtype=np.float32)
+            PX, PY = np.meshgrid(px, py)  # rows = y (depth-grid convention)
+            self._film_pix = jnp.asarray(np.stack([PX.ravel(), PY.ravel()], -1))
 
         # FEM marker flow on the contact face (camera frame: +z from camera)
         if with_marker_flow:
@@ -351,6 +398,12 @@ class BallRollingUipcEnv(BallRollingEnv):
             surf_cam = maths.quat_apply_inverse(cam_quat[:, None], surf_world - cam_pos[:, None])
             sensor_out["marker_flow"] = self.marker_flow.flow(surf_cam, k_flow)
 
+        if c.obs_mode == "camera_rgb":
+            # film the marker texture on the deformed surface (true
+            # primvars:st filming; grid_cam IS the filming surface in
+            # camera frame for both the embedded and coarse paths)
+            sensor_out["filmed_rgb"] = self._film_texture_frame(grid_cam)
+
         base = BallRollingState(
             arm=arm, ball_pos=ball_pos, ball_quat=ball_quat, ball_lin=ball_lin, ball_ang=ball_ang,
             sensor=sensor_state, goal_pos=base.goal_pos, actions=actions, prev_actions=prev_actions,
@@ -399,35 +452,43 @@ class BallRollingUipcEnv(BallRollingEnv):
             info["marker_flow"] = sensor_out["marker_flow"]
         return UipcBallRollingState(base=base, gel=gel_state), obs, reward, terminated, truncated, info
 
+    def _film_texture_frame(self, grid_cam: jax.Array) -> jax.Array:
+        """(N, Vs, 3) camera-frame film surface -> (N, vh, vw, 3) filmed
+        texture frame: rasterize the deformed triangles with per-vertex UVs
+        and fetch the marker texture bilinearly."""
+        tris_cam = grid_cam[:, self._film_tris]  # (N, T, 3, 3)
+        uv_attrs = self._film_uv[self._film_tris]  # (T, 3, 2) static
+
+        def one(tc):
+            depth, uv = mesh_raster.raster_attributes(
+                tc, uv_attrs, self._film_pix, near=1e-4
+            )
+            texel = mesh_raster.sample_texture_bilinear(self._film_tex, uv)
+            hit = (depth < mesh_raster.BIG * 0.5)[:, None]
+            return jnp.where(hit, texel, 0.3)  # off-gel: dark case interior
+
+        vh, vw, _ = self.cfg.vision_obs_shape
+        return jax.vmap(one)(tris_cam).reshape(-1, vh, vw, 3)
+
     def _observations(self, state, sensor_out=None, obs_key=None):
-        if self.cfg.obs_mode == "camera_rgb" and sensor_out is not None and "marker_flow" in sensor_out:
+        if self.cfg.obs_mode == "camera_rgb" and sensor_out is not None and "filmed_rgb" in sensor_out:
             # "uipc_textured" variant (reference envs/ball_rolling_uipc_texture
-            # .py:141): the sensor camera films the actual marker texture on
-            # the deformed gel. The filmed frame = dark marker dots at their
-            # FEM-advected image positions over the gel base color, shaded by
-            # the tactile response.
+            # .py:141): the sensor camera films the ACTUAL marker texture on
+            # the deformed gel — true UV filming (rasterized deformed surface
+            # + texture fetch), modulated by the tactile illumination.
             obs, aux = super()._observations(state, sensor_out=None, obs_key=obs_key)
             c = self.cfg
             n = c.num_envs
             vh, vw, _ = c.vision_obs_shape
-            mf_cfg = self.marker_flow.cfg
-            curr_uv = sensor_out["marker_flow"][:, 1]  # (N, M, 2) in 320x240 coords
-            sx = vw / mf_cfg.tactile_img_res[0]
-            sy = vh / mf_cfg.tactile_img_res[1]
-            from ...sensors.gelsight.fots import marker_motion as fots
-
-            dot_cfg = fots.FOTSMarkerCfg(
-                tactile_img_width=vw,
-                tactile_img_height=vh,
-                marker_dot_radius_px=max(0.45, 3.0 * sx),
-            )
-            dots = fots.draw_marker_image(dot_cfg, curr_uv * jnp.array([sx, sy]), hw=(vh, vw))
+            filmed = sensor_out["filmed_rgb"]
             rgb = sensor_out.get("tactile_rgb")
             if rgb is not None:
                 if rgb.shape[1:3] != (vh, vw):
                     rgb = jax.image.resize(rgb, (n, vh, vw, 3), method="linear")
             else:
                 rgb = jnp.full((n, vh, vw, 3), 0.45)
-            obs["vision_obs"] = rgb * dots[..., None]
+            # texture base gray is 0.6: normalize so the background matches
+            # the tactile frame and dots darken it
+            obs["vision_obs"] = jnp.clip(rgb * filmed / 0.6, 0.0, 1.0)
             return obs, aux
         return super()._observations(state, sensor_out=sensor_out, obs_key=obs_key)

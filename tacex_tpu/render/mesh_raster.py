@@ -122,6 +122,105 @@ def raster_depth(
     return depth
 
 
+def raster_attributes(
+    verts_cam: jax.Array,  # (T, 3, 3) camera-frame triangles
+    attrs: jax.Array,  # (T, 3, A) per-vertex attributes (e.g. UV)
+    pix: jax.Array,  # (P, 2) camera-frame pixel (x, y)
+    near: float = 0.0,
+    chunk: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """First-hit depth + barycentrically interpolated attributes per pixel.
+
+    The textured-filming primitive (reference: the camera films the
+    ``primvars:st``-textured gelpad, ui_extension.py:248-281): attributes
+    are affine in pixel coordinates exactly like z, so they ride the same
+    rasterizing matmul as extra columns. Returns (depth (P,), attr (P, A));
+    depth BIG / attr 0 where no hit.
+    """
+    T, A = verts_cam.shape[0], attrs.shape[-1]
+    P = pix.shape[0]
+    if T == 0:
+        return jnp.full((P,), BIG, jnp.float32), jnp.zeros((P, A), jnp.float32)
+    coeffs = triangle_affine_coeffs(verts_cam)  # (T, 3, 4)
+    # attribute planes: same barycentric combination as the z plane
+    p0, p1, p2 = verts_cam[:, 0], verts_cam[:, 1], verts_cam[:, 2]
+    x0, y0 = p0[:, 0], p0[:, 1]
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    area2 = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    valid = jnp.abs(area2) > _EPS_AREA
+    inv_area2 = jnp.where(valid, 1.0 / jnp.where(valid, area2, 1.0), 0.0)
+
+    def edge(xa, ya, xb, yb):
+        return -(yb - ya), xb - xa, (yb - ya) * xa - (xb - xa) * ya
+
+    a0, b0, c0 = edge(x0, y0, x1, y1)
+    a1, b1, c1 = edge(x1, y1, x2, y2)
+    a2, b2, c2 = edge(x2, y2, x0, y0)
+    v0, v1, v2 = attrs[:, 0], attrs[:, 1], attrs[:, 2]  # (T, A)
+    aa = (a1[:, None] * v0 + a2[:, None] * v1 + a0[:, None] * v2) * inv_area2[:, None]
+    ab = (b1[:, None] * v0 + b2[:, None] * v1 + b0[:, None] * v2) * inv_area2[:, None]
+    ac = (c1[:, None] * v0 + c2[:, None] * v1 + c0[:, None] * v2) * inv_area2[:, None]
+    attr_coeffs = jnp.stack([aa, ab, ac], axis=1)  # (T, 3, A)
+    coeffs = jnp.concatenate([coeffs, attr_coeffs], axis=-1)  # (T, 3, 4+A)
+    pvec = jnp.concatenate([pix, jnp.ones_like(pix[:, :1])], -1)
+
+    pad = (-T) % chunk
+    if pad:
+        coeffs = jnp.pad(coeffs, ((0, pad), (0, 0), (0, 0)))
+        poison = jnp.arange(coeffs.shape[0]) >= T
+        coeffs = coeffs.at[:, 2, 0].set(jnp.where(poison, -BIG, coeffs[:, 2, 0]))
+    coeffs = coeffs.reshape(-1, min(chunk, coeffs.shape[0]), 3, 4 + A)
+
+    def body(carry, cf):
+        z_min, attr_min = carry
+        out = jnp.einsum("pk,tkj->ptj", pvec, cf)  # (P, t, 4+A)
+        inside = (out[..., 0] >= 0) & (out[..., 1] >= 0) & (out[..., 2] >= 0)
+        z = jnp.where(inside & (out[..., 3] > near), out[..., 3], BIG)
+        idx = jnp.argmin(z, axis=-1)  # (P,)
+        z_best = jnp.take_along_axis(z, idx[:, None], axis=1)[:, 0]
+        a_best = jnp.take_along_axis(
+            out[..., 4:], idx[:, None, None], axis=1
+        )[:, 0]  # (P, A)
+        better = z_best < z_min
+        return (
+            jnp.where(better, z_best, z_min),
+            jnp.where(better[:, None], a_best, attr_min),
+        ), None
+
+    (depth, attr), _ = jax.lax.scan(
+        body,
+        (jnp.full((P,), BIG), jnp.zeros((P, A), jnp.float32)),
+        coeffs,
+    )
+    return depth, attr
+
+
+def sample_texture_bilinear(tex: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear texture fetch. tex: (th, tw, C); uv: (..., 2) in [0, 1]
+    (u along width, v along height). Out-of-range UVs clamp to the edge."""
+    th, tw = tex.shape[0], tex.shape[1]
+    u = jnp.clip(uv[..., 0], 0.0, 1.0) * (tw - 1)
+    v = jnp.clip(uv[..., 1], 0.0, 1.0) * (th - 1)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, tw - 1)
+    v1 = jnp.minimum(v0 + 1, th - 1)
+    fu = (u - u0)[..., None]
+    fv = (v - v0)[..., None]
+    flat = tex.reshape(-1, tex.shape[-1])
+    t00 = flat[v0 * tw + u0]
+    t01 = flat[v0 * tw + u1]
+    t10 = flat[v1 * tw + u0]
+    t11 = flat[v1 * tw + u1]
+    return (
+        t00 * (1 - fu) * (1 - fv)
+        + t01 * fu * (1 - fv)
+        + t10 * (1 - fu) * fv
+        + t11 * fu * fv
+    )
+
+
 def world_tris_to_cam(cam_pos: jax.Array, cam_quat: jax.Array, tris_w: jax.Array) -> jax.Array:
     """(T, 3, 3) world triangles -> camera frame (+Z forward, wxyz quat)."""
     flat = tris_w.reshape(-1, 3)

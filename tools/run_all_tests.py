@@ -8,7 +8,10 @@ interpreter (isolating jax/XLA state) on the CPU backend.
 from __future__ import annotations
 
 import argparse
+import datetime
+import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -25,6 +28,13 @@ PER_FILE_TIMEOUTS = {
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--pattern", default="test_*.py")
+    p.add_argument(
+        "--report",
+        default=None,
+        help="write a timestamped JSON report (file -> counts/wall time) — "
+        "the committed per-round audit artifact (counterpart of the "
+        "reference's committed tests/test-reports-*.xml)",
+    )
     args = p.parse_args()
 
     env = dict(os.environ)
@@ -60,6 +70,32 @@ def main() -> None:
     for name, status, dur, tail in rows:
         print(f"{name:<{w}} {status:<6} {dur:<8} {tail}")
     print("=" * (w + 40))
+
+    if args.report:
+        def counts(tail: str) -> dict:
+            out = {}
+            for num, kind in re.findall(r"(\d+) (passed|failed|skipped|error)", tail):
+                out[kind] = int(num)
+            return out
+
+        report = {
+            "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "total_passed": sum(counts(r[3]).get("passed", 0) for r in rows),
+            "total_failed": sum(counts(r[3]).get("failed", 0) for r in rows)
+            + sum(1 for r in rows if r[1] == "FAIL" and not counts(r[3])),
+            "files": [
+                {
+                    "file": name,
+                    "status": status,
+                    "seconds": float(dur.rstrip("s")),
+                    **counts(tail),
+                    "summary": tail,
+                }
+                for name, status, dur, tail in rows
+            ],
+        }
+        Path(args.report).write_text(json.dumps(report, indent=1) + "\n")
+        print(f"report written to {args.report}")
     sys.exit(1 if any_failed else 0)
 
 
