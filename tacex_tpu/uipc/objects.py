@@ -250,7 +250,18 @@ class UipcObject:
 
     # ------------------------------------------------------------------- step
     def _advance(self, scene: RigidSdfScene) -> None:
-        aim = self._aim_provider() if self._aim_provider is not None else None
+        if self._aim_provider is not None:
+            aim = self._aim_provider()
+        elif self._attachment_verts is not None and len(self._attachment_verts) > 0:
+            # provider-less attachments HOLD their initial positions (same
+            # convention as the union path — a None aim would become a
+            # zeros target and pull every anchored vertex to the origin)
+            aim = jnp.broadcast_to(
+                jnp.asarray(self.init_vertex_pos[self._attachment_verts]),
+                (self.state.x.shape[0], len(self._attachment_verts), 3),
+            )
+        else:
+            aim = None
         self.state = self._step(self.state, scene, aim)
 
     # ------------------------------------------------------------------ views

@@ -302,3 +302,81 @@ class TestUnionMixedScene:
         assert z_top > 0.07, z_top
         # ABD cube advanced too (fell toward the ground)
         assert float(cube.root_pos_w[0, 2]) < 0.05
+
+
+class TestScanStep:
+    """step_n: N frames inside one jitted lax.scan (no host round-trips) —
+    must match N host-orchestrated step() calls exactly."""
+
+    def _motor_scene(self, num_envs=1):
+        import numpy as np
+
+        from tacex_tpu.physics.soft.mesh import box_tet_mesh
+        from tacex_tpu.uipc.objects import (
+            AffineBodyConstitutionCfg,
+            StableNeoHookeanCfg,
+            UipcObject,
+            UipcObjectCfg,
+        )
+        from tacex_tpu.uipc.sim import UipcSim, UipcSimCfg
+
+        sim = UipcSim(
+            UipcSimCfg(
+                dt=1 / 60, num_envs=num_envs, enable_ground=True,
+                contact=UipcSimCfg.Contact(coupling_k=0),
+            )
+        )
+        gel_mesh = box_tet_mesh((0.03, 0.03, 0.01), (3, 3, 2), center=(0, 0, 0.05))
+        gel = UipcObject(
+            UipcObjectCfg(constitution=StableNeoHookeanCfg(youngs_modulus=0.1)),
+            sim, mesh=gel_mesh,
+        )
+        mount = np.where(gel_mesh.points[:, 2] > 0.055 - 1e-9)[0].astype(np.int32)
+        gel.set_attachments(mount)  # provider-less: holds init positions
+        s = 0.008
+        pts = np.array(
+            [[x, y, z] for x in (-s, s) for y in (-s, s) for z in (-s, s)], np.float64
+        ) + np.array([0, 0, 0.012])
+        tris = np.array(
+            [
+                [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+            ],
+            np.int64,
+        )
+        spinner = UipcObject(
+            UipcObjectCfg(constitution=AffineBodyConstitutionCfg(m_kappa=100.0)),
+            sim, points=pts, triangles=tris,
+        )
+        spinner.set_rotating_motor(axis=(0, 0, 1.0), rot_vel=1.0, strength=500.0)
+        sim.setup_sim()
+        return sim, gel, spinner
+
+    def test_step_n_matches_host_loop(self):
+        import numpy as np
+
+        sim_a, gel_a, sp_a = self._motor_scene()
+        sim_b, gel_b, sp_b = self._motor_scene()
+        for _ in range(4):
+            sim_a.step()
+        sim_b.step_n(4)
+        np.testing.assert_allclose(
+            np.asarray(gel_a.nodal_pos_w), np.asarray(gel_b.nodal_pos_w),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sim_a.abd_body_pose(sp_a)),
+            np.asarray(sim_b.abd_body_pose(sp_b)),
+            atol=1e-6,
+        )
+        assert sim_b._frame_counter == 4
+
+    def test_step_n_rejects_live_providers(self):
+        import jax.numpy as jnp
+        import pytest
+
+        sim, gel, sp = self._motor_scene()
+        gel._aim_provider = lambda: jnp.zeros((1, 1, 3))
+        with pytest.raises(AssertionError):
+            sim.step_n(2)
