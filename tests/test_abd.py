@@ -240,3 +240,50 @@ class TestAnalyticHessian:
         H_ana = model._assemble_hessian(q, q, scene1, aimw, x0, fb, cand, pf)
         rel = float(jnp.abs(H_ref - H_ana).max() / jnp.abs(H_ref).max())
         assert rel < 1e-3, rel
+
+
+class TestCgSolver:
+    """linear_solver="cg" (block-preconditioned, matrix-free) must reproduce
+    the dense-Newton trajectories at pile scale — it's the batched-RL path
+    (the dense (12B)^2 solve saturates the chip at N=1, AbdSolverCfg note)."""
+
+    def _pile(self, solver, n_envs=1, n_bodies=4, steps=60):
+        P, T = _cube(half=0.03)
+        rng = np.random.default_rng(3)
+        offs = np.stack(
+            [
+                rng.uniform(-0.01, 0.01, n_bodies),
+                rng.uniform(-0.01, 0.01, n_bodies),
+                0.05 + 0.08 * np.arange(n_bodies),
+            ],
+            axis=-1,
+        )
+        model = AbdModel(
+            [P] * n_bodies, [T] * n_bodies,
+            cfg=AbdSolverCfg(contact_k=8, friction_mu=0.3, linear_solver=solver),
+        )
+        st = AbdState.identity(n_envs, n_bodies, offsets=offs)
+        step = jax.jit(model.step)
+        scene = _ground_scene(n_envs)
+        for _ in range(steps):
+            st = step(st, scene)
+        return np.asarray(st.q)
+
+    def test_cg_matches_dense_on_pile(self):
+        q_dense = self._pile("dense")
+        q_cg = self._pile("cg")
+        assert not np.isnan(q_cg).any()
+        # same rest configuration: bodies land in the same places (loose
+        # tolerance — CG truncation changes iterates, not the fixed point)
+        np.testing.assert_allclose(q_cg[0, :, :3], q_dense[0, :, :3], atol=3e-3)
+        # all bodies rigid and above ground
+        for b in range(q_cg.shape[1]):
+            A = q_cg[0, b, 3:].reshape(3, 3)
+            assert np.abs(A.T @ A - np.eye(3)).max() < 5e-2
+            assert q_cg[0, b, 2] > 0.028
+
+    def test_cg_batched_envs(self):
+        q = self._pile("cg", n_envs=4, n_bodies=4, steps=40)
+        assert q.shape[0] == 4 and not np.isnan(q).any()
+        # envs share identical initial conditions -> identical results
+        np.testing.assert_allclose(q[1:], np.broadcast_to(q[:1], q[1:].shape), atol=1e-6)
