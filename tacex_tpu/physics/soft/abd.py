@@ -48,7 +48,7 @@ from .ipc import (
     _edge_pair_crossed,
     _point_triangle_closest,
     _point_triangle_distance,
-    _segment_crosses_triangle,
+    _segment_crosses_moving_triangle,
     barrier_extended,
     barrier_force_mag,
     edge_edge_mollifier,
@@ -633,11 +633,14 @@ class AbdModel:
                 d_vt = self._pair_distances(x, ci)
                 ok = ok & (jnp.where(valid, d_vt, 1.0).min() > 1e-7)
                 # reject trials whose vertices pierce a candidate triangle
-                # (unsigned distances cannot detect tunneling)
+                # (unsigned distances cannot detect tunneling); both bodies
+                # move, so test in the triangle's co-moving frame
                 x_from = self.world_points(qf_from.reshape(B, 12))
                 tri = x[self.tris[ci]]
-                crossed = _segment_crosses_triangle(
+                tri0 = x_from[self.tris[ci]]
+                crossed = _segment_crosses_moving_triangle(
                     x_from[:, None, :], x[:, None, :],
+                    tri0[..., 0, :], tri0[..., 1, :], tri0[..., 2, :],
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~(crossed & valid).any()

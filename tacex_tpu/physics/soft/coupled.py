@@ -58,6 +58,7 @@ from .ipc import (
     SoftBodyState,
     _point_triangle_closest,
     _point_triangle_distance,
+    _segment_crosses_moving_triangle,
     _segment_crosses_triangle,
     barrier_extended,
     barrier_force_mag,
@@ -361,15 +362,17 @@ class CoupledModel:
             y_t = abd.world_points(qq)
             ok = scene.sdf(xs_t).min() > d_floor
             ok = ok & (scene.sdf(y_t).min() > d_floor_abd)
-            # fem self contact
+            # fem self contact (moving triangles: co-moving-frame test)
             if self_cand is not None:
                 cnd, vld = self_cand
                 d_vt = fem._pair_distances(xx, cnd)
                 ok = ok & (jnp.where(vld, d_vt, 1.0).min() > 1e-6)
                 tri = xx[fem.surface_tris[cnd]]
-                crossed = _segment_crosses_triangle(
+                tri0 = xf[fem.surface_tris[cnd]]
+                crossed = _segment_crosses_moving_triangle(
                     xf[fem.surface_verts][:, None, :],
                     xs_t[:, None, :],
+                    tri0[..., 0, :], tri0[..., 1, :], tri0[..., 2, :],
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~(crossed & vld).any()
@@ -383,32 +386,40 @@ class CoupledModel:
                 )
                 ok = ok & ~crossed.any()
             # abd body-body
+            y_f = abd.world_points(qf)
             if abd_cand is not None:
                 ci, vld = abd_cand
                 d_bb = abd._pair_distances(y_t, ci)
                 ok = ok & (jnp.where(vld, d_bb, 1.0).min() > 1e-7)
-                y_f = abd.world_points(qf)
                 tri = y_t[abd.tris[ci]]
-                crossed = _segment_crosses_triangle(
+                tri0 = y_f[abd.tris[ci]]
+                crossed = _segment_crosses_moving_triangle(
                     y_f[:, None, :], y_t[:, None, :],
+                    tri0[..., 0, :], tri0[..., 1, :], tri0[..., 2, :],
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~(crossed & vld).any()
-            # cross families: floors + crossing CCD both ways
+            # cross families: floors + crossing CCD both ways — both sides
+            # of each family move, so the co-moving-frame test is essential
+            # (the end-frame test misses the barrier's push-apart kinematics;
+            # measured tunneling in the cloth-catches-falling-body scene)
             dA, dB = self._cross_distances(xx, qq, candA, candB)
             ok = ok & (jnp.where(validA, dA, 1.0).min() > crossA_floor)
             ok = ok & (jnp.where(validB, dB, 1.0).min() > crossB_floor)
             triA = y_t[self.abd.tris[candA]]
-            crossedA = _segment_crosses_triangle(
+            triA0 = y_f[self.abd.tris[candA]]
+            crossedA = _segment_crosses_moving_triangle(
                 xf[fem.surface_verts][:, None, :],
                 xs_t[:, None, :],
+                triA0[..., 0, :], triA0[..., 1, :], triA0[..., 2, :],
                 triA[..., 0, :], triA[..., 1, :], triA[..., 2, :],
             )
             ok = ok & ~(crossedA & validA).any()
-            y_f = abd.world_points(qf)
             triB = xx[self.fem.surface_tris[candB]]
-            crossedB = _segment_crosses_triangle(
+            triB0 = xf[self.fem.surface_tris[candB]]
+            crossedB = _segment_crosses_moving_triangle(
                 y_f[:, None, :], y_t[:, None, :],
+                triB0[..., 0, :], triB0[..., 1, :], triB0[..., 2, :],
                 triB[..., 0, :], triB[..., 1, :], triB[..., 2, :],
             )
             ok = ok & ~(crossedB & validB).any()

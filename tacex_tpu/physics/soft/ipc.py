@@ -226,6 +226,27 @@ def _segment_crosses_triangle(p0, p1, a, b, c, eps: float = 1e-4):
     )
 
 
+def _segment_crosses_moving_triangle(
+    p0, p1, a0, b0, c0, a1, b1, c1, eps: float = 1e-4
+):
+    """Crossing test against a MOVING triangle: Möller–Trumbore in the
+    triangle's co-moving frame.
+
+    Testing the vertex segment against the end-pose triangle alone misses
+    relative crossings where both sides move — the exact kinematics a
+    barrier produces at contact onset (it pushes the surfaces apart, so a
+    vertex that slipped past mid-iterate sees the triangle recede and the
+    end-frame segment never pierces it; measured tunneling in the
+    cloth-catches-falling-body scene). First-order fix: subtract the
+    triangle's mean (centroid) displacement from the vertex's motion and
+    test against the end pose — exact for relative translation, which
+    dominates within one line-search trial; triangle rotation/deformation
+    is second-order over a trial and covered by the distance floors.
+    """
+    shift = ((a1 - a0) + (b1 - b0) + (c1 - c0)) / 3.0
+    return _segment_crosses_triangle(p0 + shift, p1, a1, b1, c1, eps)
+
+
 def barrier_extended(d, kappa: float, d_hat: float):
     """Per-distance IPC log-barrier with a C^2 quadratic extension below
     d0 = 0.1 d_hat (value/slope/curvature matched at d0).
@@ -358,6 +379,7 @@ class SoftBodyModel:
         attachment_verts: np.ndarray | None = None,
         attachment_strength_ratio=100.0,  # scalar or (Va,) per attachment vertex
         static_tris: np.ndarray | None = None,  # (Ts, 3, 3) fixed trimesh colliders
+        shell_elems=None,  # codim.ShellElements: membrane/bending elements
     ):
         self.mesh = mesh
         self.cfg = cfg or IpcSolverCfg()
@@ -370,7 +392,23 @@ class SoftBodyModel:
         self.tets = jnp.asarray(mesh.tets)
         self.dm_inv = jnp.asarray(dm_inv)
         self.rest_vol = jnp.asarray(vol)
-        self.masses = jnp.asarray(lumped_masses(mesh.points, mesh.tets, mass_density))  # (V,)
+        # Codimensional (cloth/shell) elements over the SAME vertex array —
+        # libuipc's layout, where NeoHookeanShell/DiscreteShellBending are
+        # FiniteElement constitutions in one system (uipc_sim.py:23-26): a
+        # union model can mix tet and membrane elements, so cloth joins the
+        # self-contact machinery and the coupled FEM<->ABD world for free.
+        masses_np = np.asarray(lumped_masses(mesh.points, mesh.tets, mass_density))
+        if shell_elems is not None and shell_elems.num_tris > 0:
+            from .codim import ShellElementsJax
+
+            self.shell = ShellElementsJax(shell_elems)
+            masses_np = masses_np + np.asarray(shell_elems.masses)
+        else:
+            self.shell = None
+        assert (masses_np > 0).all(), (
+            "zero-mass vertex: every vertex must belong to a tet or a shell element"
+        )
+        self.masses = jnp.asarray(masses_np)  # (V,)
         self.surface_verts = jnp.asarray(mesh.surface_verts)
         self.surface_tris = jnp.asarray(mesh.surface_tris)  # (Ts, 3) vertex ids
         # vertex-in-triangle exclusion for self contact (IPC convention:
@@ -402,7 +440,7 @@ class SoftBodyModel:
         # strength scaling that makes "ratio x mass" (UipcIsaacAttachmentsCfg:
         # constraint_strength_ratio=100) hold against gravity under implicit
         # integration (deviation ~ g dt^2 / ratio ~ 1e-5 m at the defaults)
-        m_attach = np.asarray(lumped_masses(mesh.points, mesh.tets, mass_density))[attachment_verts]
+        m_attach = masses_np[attachment_verts]  # incl. shell mass contribution
         self.attachment_k = jnp.asarray(
             attachment_strength_ratio * m_attach / self.cfg.dt**2, jnp.float32
         )[:, None]
@@ -456,6 +494,10 @@ class SoftBodyModel:
         c = self.cfg
         inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
         elastic = stable_neo_hookean_energy(x, self.tets, self.dm_inv, self.rest_vol, self.mu, self.lam)
+        if self.shell is not None:
+            from .codim import bending_energy, membrane_energy
+
+            elastic = elastic + membrane_energy(x, self.shell) + bending_energy(x, self.shell)
         xs = x[self.surface_verts]
         contact = self._barrier(scene.sdf(xs))
         if self_cand is not None:
@@ -566,11 +608,14 @@ class SoftBodyModel:
                 d_vt = self._pair_distances(xx, cand)
                 ok = ok & (jnp.where(valid, d_vt, 1.0).min() > 1e-6)
                 # crossing check: unsigned vertex-triangle distances cannot
-                # see a vertex that jumped THROUGH a triangle this trial
+                # see a vertex that jumped THROUGH a triangle this trial;
+                # the triangles MOVE too, so test in their co-moving frame
                 tri = xx[self.surface_tris[cand]]  # (Vs, K, 3, 3)
-                crossed = _segment_crosses_triangle(
+                tri0 = x_from[self.surface_tris[cand]]
+                crossed = _segment_crosses_moving_triangle(
                     x_from[self.surface_verts][:, None, :],
                     xx[self.surface_verts][:, None, :],
+                    tri0[..., 0, :], tri0[..., 1, :], tri0[..., 2, :],
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~(crossed & valid).any()

@@ -35,6 +35,12 @@ import jax.numpy as jnp
 
 from ...core.config import configclass
 from ...ops import sdf as sdf_ops
+from .codim import (
+    ShellElementsJax,
+    bending_energy,
+    build_shell_elements,
+    membrane_energy,
+)
 from .ipc import (
     RigidSdfScene,
     SoftBodyState,
@@ -95,72 +101,23 @@ class ShellModel:
         self.num_vertices = len(P)
         self.tris = jnp.asarray(T, jnp.int32)
 
-        # ---- membrane rest state: 2D tangent frame per triangle
-        e1 = P[T[:, 1]] - P[T[:, 0]]
-        e2 = P[T[:, 2]] - P[T[:, 0]]
-        n = np.cross(e1, e2)
-        area2 = np.linalg.norm(n, axis=-1)
-        if (area2 < 1e-14).any():
-            raise ValueError("degenerate rest triangle in shell mesh")
-        t1 = e1 / np.linalg.norm(e1, axis=-1, keepdims=True)
-        nn = n / area2[:, None]
-        t2 = np.cross(nn, t1)
-        # rest 2x2 material matrix D = [[e1.t1, e2.t1], [0, e2.t2]]
-        D = np.zeros((len(T), 2, 2))
-        D[:, 0, 0] = (e1 * t1).sum(-1)
-        D[:, 0, 1] = (e2 * t1).sum(-1)
-        D[:, 1, 1] = (e2 * t2).sum(-1)
-        self.d_inv = jnp.asarray(np.linalg.inv(D), jnp.float32)  # (T, 2, 2)
-        area = 0.5 * area2
-        self.rest_area = jnp.asarray(area, jnp.float32)
-        E, nu = float(youngs_modulus), float(poisson_ratio)
-        self.mu = E / (2.0 * (1.0 + nu))
-        self.lam = E * nu / ((1.0 + nu) * (1.0 - 2.0 * nu + 1e-9))
-        self.thickness = float(thickness)
-
-        # lumped vertex masses: density * thickness * area / 3 per corner
-        masses = np.zeros(len(P))
-        np.add.at(masses, T.reshape(-1), np.repeat(mass_density * thickness * area / 3.0, 3))
-        self.masses = jnp.asarray(masses, jnp.float32)
-
-        # ---- bending hinges: interior edges with their opposite vertices
-        edge_map: dict[tuple[int, int], list[tuple[int, int]]] = {}
-        for ti, tri in enumerate(T):
-            for k in range(3):
-                a, b = int(tri[k]), int(tri[(k + 1) % 3])
-                o = int(tri[(k + 2) % 3])
-                edge_map.setdefault((min(a, b), max(a, b)), []).append((ti, o))
-        hinges = []
-        for (a, b), occ in edge_map.items():
-            if len(occ) == 2:
-                hinges.append((a, b, occ[0][1], occ[1][1]))
-        if hinges:
-            H = np.asarray(hinges, np.int64)  # (H, 4): edge a-b, opposite c, d
-            self.hinges = jnp.asarray(H, jnp.int32)
-            e_len = np.linalg.norm(P[H[:, 1]] - P[H[:, 0]], axis=-1)
-            # h_bar = 1/3 of the summed opposite heights (Grinspun weight)
-            a_sum = area[[edge_map[(int(h[0]), int(h[1]))][0][0] for h in H]] + area[
-                [edge_map[(int(h[0]), int(h[1]))][1][0] for h in H]
-            ]
-            h_bar = (2.0 / 3.0) * a_sum / e_len
-            # plate-bending modulus: k_b = E_bend * t^3 / 12 (per unit
-            # width), times the discrete-shells hinge weight |e|/h_bar —
-            # with the sample's E=10, t=1mm this makes bending cloth-soft
-            # (dominated by gravity/membrane), as the drape demands
-            kb = bending_stiffness * thickness**3 / 12.0
-            self.hinge_w = jnp.asarray(
-                kb * e_len / np.maximum(h_bar, 1e-9), jnp.float32
-            )
-            # rest dihedral (flat grids: 0; general shells keep their shape)
-            self.theta0 = jnp.asarray(
-                np.asarray(
-                    self._dihedral_np(P, H), np.float32
-                )
-            )
-        else:
-            self.hinges = jnp.zeros((0, 4), jnp.int32)
-            self.hinge_w = jnp.zeros((0,), jnp.float32)
-            self.theta0 = jnp.zeros((0,), jnp.float32)
+        # rest-state precompute shared with the union/coupled path
+        # (codim.build_shell_elements — libuipc's NeoHookeanShell +
+        # DiscreteShellBending apply_to quantities; bending uses the
+        # plate modulus k_b = E_bend t^3/12 times the discrete-shells
+        # |e|/h_bar hinge weight, cloth-soft at the sample's E=10, 1 mm)
+        elems = build_shell_elements(
+            P, T,
+            youngs_modulus=youngs_modulus,
+            poisson_ratio=poisson_ratio,
+            thickness=thickness,
+            mass_density=mass_density,
+            bending_stiffness=bending_stiffness,
+        )
+        self.elems = ShellElementsJax(elems)
+        self.masses = jnp.asarray(elems.masses, jnp.float32)
+        self.hinges = self.elems.hinges
+        masses = elems.masses
 
         # ---- static collider
         if static_tris is not None and len(static_tris) > 0:
@@ -186,48 +143,12 @@ class ShellModel:
 
         self.surface_verts = jnp.arange(self.num_vertices, dtype=jnp.int32)
 
-    @staticmethod
-    def _dihedral_np(P, H):
-        x0, x1, x2, x3 = P[H[:, 0]], P[H[:, 1]], P[H[:, 2]], P[H[:, 3]]
-        e = x1 - x0
-        n1 = np.cross(e, x2 - x0)
-        n2 = np.cross(x3 - x0, e)
-        n1n = np.linalg.norm(n1, axis=-1) + 1e-12
-        n2n = np.linalg.norm(n2, axis=-1) + 1e-12
-        en = np.linalg.norm(e, axis=-1) + 1e-12
-        cos = (n1 * n2).sum(-1) / (n1n * n2n)
-        sin = (np.cross(n1, n2) * e).sum(-1) / (n1n * n2n * en)
-        return np.arctan2(sin, cos)
-
     # -------------------------------------------------------------- energies
     def _membrane(self, x: jax.Array) -> jax.Array:
-        a = x[self.tris[:, 0]]
-        f1 = x[self.tris[:, 1]] - a  # (T, 3)
-        f2 = x[self.tris[:, 2]] - a
-        Fw = jnp.stack([f1, f2], axis=-1)  # (T, 3, 2) world edges
-        F = jnp.einsum("tik,tkj->tij", Fw, self.d_inv)  # (T, 3, 2)
-        C = jnp.einsum("tki,tkj->tij", F, F)  # (T, 2, 2)
-        I2 = C[:, 0, 0] + C[:, 1, 1]
-        detC = jnp.maximum(C[:, 0, 0] * C[:, 1, 1] - C[:, 0, 1] * C[:, 1, 0], 1e-12)
-        lnJ = 0.5 * jnp.log(detC)
-        psi = 0.5 * self.mu * (I2 - 2.0) - self.mu * lnJ + 0.5 * self.lam * lnJ**2
-        return jnp.sum(psi * self.rest_area * self.thickness)
+        return membrane_energy(x, self.elems)
 
     def _bending(self, x: jax.Array) -> jax.Array:
-        if self.hinges.shape[0] == 0:
-            return 0.0
-        H = self.hinges
-        x0, x1, x2, x3 = x[H[:, 0]], x[H[:, 1]], x[H[:, 2]], x[H[:, 3]]
-        e = x1 - x0
-        n1 = jnp.cross(e, x2 - x0)
-        n2 = jnp.cross(x3 - x0, e)
-        n1n = jnp.sqrt((n1**2).sum(-1) + 1e-16)
-        n2n = jnp.sqrt((n2**2).sum(-1) + 1e-16)
-        en = jnp.sqrt((e**2).sum(-1) + 1e-16)
-        cos = (n1 * n2).sum(-1) / (n1n * n2n)
-        sin = (jnp.cross(n1, n2) * e).sum(-1) / (n1n * n2n * en)
-        theta = jnp.arctan2(sin, cos)
-        return jnp.sum(self.hinge_w * (theta - self.theta0) ** 2)
+        return bending_energy(x, self.elems)
 
     def _barrier(self, d: jax.Array) -> jax.Array:
         """Summed log-barrier (shared formulation: ipc.barrier_extended)."""

@@ -184,8 +184,15 @@ class UipcSim:
         contact world across constitutions, like libuipc's
         GlobalVertexManager over all subsystems (uipc_sim.py:204-208):
         FEM gel pads can grasp and lift a dynamic affine body by friction.
-        Shell objects still solve separately and see kinematic affine
-        bodies as static trimesh colliders.
+
+        Shell (cloth) objects are codimensional elements of the SAME nodal
+        system (libuipc's layout: NeoHookeanShell/DiscreteShellBending are
+        FiniteElement constitutions, uipc_sim.py:23-26): whenever a union
+        is built, shells join it — cloth-vs-gel resolves through the
+        self-contact machinery and cloth meets dynamic affine bodies
+        through the coupled cross barriers. A lone shell (or
+        contact disabled) still solves standalone, seeing kinematic affine
+        bodies as static trimesh colliders (the bunny-cloth pattern).
         """
         self._union_model = None
         self._union_state = None
@@ -196,41 +203,48 @@ class UipcSim:
         ]
         abd_objs = [o for o in self.objects if o.is_affine_body]
         shell_objs = [o for o in self.objects if o.is_shell]
-        # kinematic affine bodies act as STATIC trimesh colliders for shell
-        # objects (the bunny-cloth pattern: fixed body + cloth); FEM objects
-        # meet affine bodies through the coupled world below when enabled
         static = [
             np.asarray(o.mesh.points, np.float32)[np.asarray(o.mesh.surface_tris)]
             for o in abd_objs
             if o.cfg.constitution.kinematic
         ]
         static_tris = np.concatenate(static) if static else None
+        nodal_objs = fem_objs + shell_objs  # one vertex array, mixed elements
+        # shells alone with only KINEMATIC affine bodies keep the cheap
+        # static-collider path (the bunny-cloth pattern) — coupling there
+        # would solve held-in-place DOFs for nothing; any dynamic body (or
+        # any FEM object, matching round-2 behavior) builds the one world
+        any_dynamic_abd = any(not o.cfg.constitution.kinematic for o in abd_objs)
         couple = (
             self.cfg.contact.enable
             and self.cfg.contact.coupling_k > 0
-            and fem_objs
+            and nodal_objs
             and abd_objs
+            and (fem_objs or any_dynamic_abd)
         )
+        in_union: list[Any] = []
         if couple:
             from ..physics.soft.coupled import CoupledModel
 
-            # one union FEM model (no ABD static_tris — the bodies
+            # one union nodal model (no ABD static_tris — the bodies
             # themselves are in the contact world, kinematic ones held by
             # their strong soft-transform constraints)
-            self._setup_union(fem_objs, static_tris=None)
+            self._setup_union(nodal_objs, static_tris=None)
             self._setup_abd(abd_objs)
             self._coupled = CoupledModel(
                 self._union_model, self._abd_model,
                 cross_k=self.cfg.contact.coupling_k,
             )
             self._coupled_step_fn = jax.jit(self._coupled.step)
-        elif self.cfg.contact.self_contact_k > 0 and len(fem_objs) >= 2:
-            self._setup_union(fem_objs, static_tris=static_tris)
+            in_union = nodal_objs
+        elif self.cfg.contact.self_contact_k > 0 and len(nodal_objs) >= 2:
+            self._setup_union(nodal_objs, static_tris=static_tris)
+            in_union = nodal_objs
         else:
             for obj in fem_objs:
                 obj._finalize(self, static_tris=static_tris)
-        if shell_objs:
-            for obj in shell_objs:
+        for obj in shell_objs:
+            if obj not in in_union:
                 obj._finalize(self, static_tris=static_tris)
         if abd_objs and not couple:
             self._setup_abd(abd_objs)
@@ -348,19 +362,38 @@ class UipcSim:
         self._abd_state = AbdState(q=q, qd=qd)
         self._abd_aim_q = aim
 
-    def _setup_union(self, fem_objs, static_tris=None) -> None:
+    def _setup_union(self, nodal_objs, static_tris=None) -> None:
+        from ..physics.soft.codim import build_shell_elements, merge_shell_elements
         from ..physics.soft.mesh import union_meshes
 
-        objects = fem_objs
+        objects = nodal_objs
         mesh, offsets = union_meshes([o.mesh for o in objects])
         youngs, poisson, density = [], [], []
         att_verts, att_ratio = [], []
+        shell_parts = []
         self._union_aim_objs = []
         for i, obj in enumerate(objects):
             con = obj.cfg.constitution
+            if obj.is_shell:
+                # codim membrane+bending elements with GLOBAL vertex ids
+                # (a shell's TetMesh has 0 tets; its triangles are already
+                # in the union's surface_tris via union_meshes)
+                shell_parts.append(
+                    build_shell_elements(
+                        obj.mesh.points,
+                        obj.mesh.surface_tris,
+                        youngs_modulus=con.youngs_modulus * 1e6,  # MPa -> Pa
+                        poisson_ratio=con.poisson_rate,
+                        thickness=con.thickness,
+                        mass_density=obj.cfg.mass_density,
+                        bending_stiffness=con.bending_E,
+                        num_vertices=mesh.num_vertices,
+                        vertex_offset=int(offsets[i]),
+                    )
+                )
             nt = obj.mesh.tets.shape[0]
-            youngs.append(np.full(nt, con.youngs_modulus * 1e6, np.float32))
-            poisson.append(np.full(nt, con.poisson_rate, np.float32))
+            youngs.append(np.full(nt, getattr(con, "youngs_modulus", 0.1) * 1e6, np.float32))
+            poisson.append(np.full(nt, getattr(con, "poisson_rate", 0.45), np.float32))
             density.append(np.full(nt, obj.cfg.mass_density, np.float32))
             if obj._attachment_verts is not None and len(obj._attachment_verts) > 0:
                 att_verts.append(np.asarray(obj._attachment_verts, np.int64) + offsets[i])
@@ -385,6 +418,11 @@ class UipcSim:
                 np.concatenate(att_ratio) if att_ratio else 100.0
             ),
             static_tris=static_tris,
+            shell_elems=(
+                merge_shell_elements(shell_parts, mesh.num_vertices)
+                if shell_parts
+                else None
+            ),
         )
         self._union_state = SoftBodyState.init(self.cfg.num_envs, mesh.points)
         self._union_step_fn = jax.jit(self._union_model.step)
@@ -469,16 +507,16 @@ class UipcSim:
             for obj in self._union_objs:
                 obj._refresh_union_slice()
             for obj in self.objects:
-                if obj.is_shell:
+                if obj.is_shell and obj._union_range is None:
                     obj._advance(scene)
         elif self._union_model is not None:
             aim = self._union_aim()
             self._union_state = self._union_step_fn(self._union_state, scene, aim)
             for obj in self._union_objs:
                 obj._refresh_union_slice()
-            # shells are not part of the FEM union; advance them separately
+            # standalone shells (not part of the nodal union)
             for obj in self.objects:
-                if obj.is_shell:
+                if obj.is_shell and obj._union_range is None:
                     obj._advance(scene)
         else:
             for obj in self.objects:
