@@ -56,6 +56,7 @@ from .ipc import (
     RigidSdfScene,
     SoftBodyModel,
     SoftBodyState,
+    _edge_pair_crossed,
     _point_triangle_closest,
     _point_triangle_distance,
     _segment_crosses_moving_triangle,
@@ -252,6 +253,7 @@ class CoupledModel:
         static_cand = (
             fem._static_candidates(xs0) if fem.static_tris is not None else None
         )
+        ee_cand = fem._select_ee_candidates(x) if fem.edges is not None else None
         abd_cand = abd._select_candidates(y0) if ca.contact_k > 0 else None
         candA, validA = self._cross_candidates(xs0, y0)
         candB, validB = self._cross_candidates_b(x, y0)
@@ -311,7 +313,7 @@ class CoupledModel:
         def energy_of(z, fl, al, cl):
             xx, qq = unpack(z)
             e = fem._energy(
-                xx, x_tilde, scene, aim_pos, x0, fl, self_cand, static_cand
+                xx, x_tilde, scene, aim_pos, x0, fl, self_cand, static_cand, ee_cand
             )
             e = e + abd._energy(
                 qq, q_tilde, scene, aim_q, aim_strength, y0, al, abd_cand, None
@@ -354,6 +356,12 @@ class CoupledModel:
             s_floor = jnp.minimum(
                 0.999 * fem._static_distance(xs0, static_cand).min(), 1e-7
             )
+        if ee_cand is not None:
+            eci0, eval0 = ee_cand
+            ee_floor = jnp.minimum(
+                0.999 * jnp.where(eval0, fem._ee_distances(x, eci0), 1.0).min(),
+                1e-7,
+            )
 
         def feasible(z_try, z_from):
             xx, qq = unpack(z_try)
@@ -385,6 +393,21 @@ class CoupledModel:
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~crossed.any()
+            if ee_cand is not None:
+                eci, evalid = ee_cand
+                d_ee = fem._ee_distances(xx, eci)
+                ok = ok & (jnp.where(evalid, d_ee, 1.0).min() > ee_floor)
+                pa = xf[fem.edges]
+                pja = xf[fem.edges[eci]]
+                pb = xx[fem.edges]
+                pjb = xx[fem.edges[eci]]
+                crossed = _edge_pair_crossed(
+                    pa[:, None, 0, :], pa[:, None, 1, :],
+                    pja[..., 0, :], pja[..., 1, :],
+                    pb[:, None, 0, :], pb[:, None, 1, :],
+                    pjb[..., 0, :], pjb[..., 1, :],
+                )
+                ok = ok & ~(crossed & evalid).any()
             # abd body-body
             y_f = abd.world_points(qf)
             if abd_cand is not None:

@@ -320,6 +320,14 @@ class IpcSolverCfg:
     # was built with static_tris (fixed trimesh bodies, e.g. kinematic
     # affine objects — same machinery as the shell solver)
     static_contact_k: int = 4
+    # EDGE-EDGE candidate edges per surface edge (0 = off). Vertex-triangle
+    # pairs alone hop contacts where thin features meet edge-on — for the
+    # nodal system the canonical case is cloth: two coarse cloth strips
+    # crossing at 90 deg touch mid-edge, far from every vertex. Real IPC
+    # (libuipc's BVH pipeline, SURVEY §2.2 row 1) resolves PT and EE pairs;
+    # same scheme as AbdSolverCfg.ee_contact_k, over the union surface
+    # edges (self + object-object, adjacency-excluded, i<j dedup).
+    ee_contact_k: int = 0
 
 
 @jax.tree_util.register_dataclass
@@ -422,6 +430,26 @@ class SoftBodyModel:
         self._tri_radius_max = float(
             np.linalg.norm(tri_pts - tri_pts.mean(1, keepdims=True), axis=-1).max()
         )
+        # unique surface edges for EDGE-EDGE pairs (built only when enabled:
+        # the (E, E) adjacency mask is cloth-scene machinery, not worth the
+        # memory on sensor-gel meshes running vertex-triangle only)
+        if self.cfg.ee_contact_k > 0:
+            e_all = np.concatenate([st[:, [0, 1]], st[:, [1, 2]], st[:, [2, 0]]])
+            e_all.sort(axis=1)
+            edges = np.unique(e_all, axis=0)
+            self.edges = jnp.asarray(edges, jnp.int32)  # (E, 2)
+            # exclude edge pairs sharing a vertex (IPC adjacency convention)
+            share = (
+                (edges[:, None, :, None] == edges[None, :, None, :])
+                .any(-1)
+                .any(-1)
+            )  # (E, E)
+            self._ee_exclude = jnp.asarray(share)
+            elen2 = ((mesh.points[edges[:, 1]] - mesh.points[edges[:, 0]]) ** 2).sum(-1)
+            self._edge_len2 = jnp.asarray(elen2, jnp.float32)
+            self._edge_halflen = jnp.asarray(0.5 * np.sqrt(elen2), jnp.float32)
+        else:
+            self.edges = None
         # fixed triangle-soup colliders (the shell solver's static_tris
         # machinery): K-nearest candidates per surface vertex + crossing CCD
         if static_tris is not None and len(static_tris) > 0:
@@ -463,6 +491,46 @@ class SoftBodyModel:
         valid = (-neg) < cut * cut
         return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
 
+    # ------------------------------------------------------------- edge-edge
+    def _select_ee_candidates(self, x: jax.Array):
+        """K nearest HIGHER-index edges per surface edge (each unordered
+        pair once), adjacency-excluded, by midpoint distance at the step
+        start (constants through the Newton solve)."""
+        k = min(self.cfg.ee_contact_k, self.edges.shape[0])
+        mid = x[self.edges].mean(-2)  # (E, 3)
+        d2 = ((mid[:, None, :] - mid[None]) ** 2).sum(-1)
+        E = self.edges.shape[0]
+        dedup = jnp.arange(E)[:, None] >= jnp.arange(E)[None, :]
+        d2 = jnp.where(self._ee_exclude | dedup, jnp.inf, d2)
+        neg, cand = jax.lax.top_k(-d2, k)
+        cut = 3.0 * self.cfg.d_hat + self._edge_halflen[:, None] + self._edge_halflen[cand]
+        valid = (-neg) < cut * cut
+        return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
+
+    def _ee_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+        pi = x[self.edges]  # (E, 2, 3)
+        pj = x[self.edges[cand]]  # (E, K, 2, 3)
+        return _edge_edge_distance(
+            pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
+        )
+
+    def _ee_barrier(self, x: jax.Array, ee_cand) -> jax.Array:
+        """Mollified edge-edge barrier sum (edge_edge_mollifier fades the
+        near-parallel pairs whose support PT pairs already carry)."""
+        cand, valid = ee_cand
+        c = self.cfg
+        pi = x[self.edges]
+        pj = x[self.edges[cand]]
+        d = _edge_edge_distance(
+            pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
+        )
+        eps_x = 1e-3 * self._edge_len2[:, None] * self._edge_len2[cand]
+        m = edge_edge_mollifier(
+            pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :], eps_x
+        )
+        d = jnp.where(valid, d, 10.0 * c.d_hat)
+        return jnp.sum(m * barrier_extended(d, c.kappa, c.d_hat))
+
     def _pair_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
         """Unsigned vertex-triangle distances for the candidate set -> (Vs, K)."""
         p = x[self.surface_verts][:, None, :]  # (Vs, 1, 3)
@@ -489,7 +557,7 @@ class SoftBodyModel:
 
     def _energy(
         self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None,
-        static_cand=None,
+        static_cand=None, ee_cand=None,
     ):
         c = self.cfg
         inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
@@ -508,6 +576,8 @@ class SoftBodyModel:
             contact = contact + self._barrier(d_vt)
         if static_cand is not None:
             contact = contact + self._barrier(self._static_distance(xs, static_cand))
+        if ee_cand is not None:
+            contact = contact + self._ee_barrier(x, ee_cand)
         attach = 0.0
         if self.attachment_verts.shape[0] > 0:
             attach = 0.5 * jnp.sum(self.attachment_k * (x[self.attachment_verts] - aim_pos) ** 2)
@@ -544,6 +614,9 @@ class SoftBodyModel:
         self_cand = self._select_candidates(x) if c.self_contact_k > 0 else None
         static_cand = (
             self._static_candidates(xs0) if self.static_tris is not None else None
+        )
+        ee_cand = (
+            self._select_ee_candidates(x) if self.edges is not None else None
         )
 
         def friction_lag(x_k, stop=True):
@@ -582,7 +655,8 @@ class SoftBodyModel:
 
         def make_energy(friction_basis):
             return lambda xx: self._energy(
-                xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand, static_cand
+                xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand,
+                static_cand, ee_cand,
             )
 
         # Feasibility floor: strict penetration-free (d > 0) when the step
@@ -600,6 +674,12 @@ class SoftBodyModel:
             )
         else:
             s_floor = 1e-7
+        if ee_cand is not None:
+            eci0, eval0 = ee_cand
+            ee_floor = jnp.minimum(
+                0.999 * jnp.where(eval0, self._ee_distances(x, eci0), 1.0).min(),
+                1e-7,
+            )
 
         def feasible(xx, x_from):
             ok = sdf_fn(xx[self.surface_verts]).min() > d_floor
@@ -629,6 +709,23 @@ class SoftBodyModel:
                     tri[..., 0, :], tri[..., 1, :], tri[..., 2, :],
                 )
                 ok = ok & ~crossed.any()
+            if ee_cand is not None:
+                eci, evalid = ee_cand
+                d_ee = self._ee_distances(xx, eci)
+                ok = ok & (jnp.where(evalid, d_ee, 1.0).min() > ee_floor)
+                # EE crossing CCD (edges pass through each other unseen by
+                # unsigned distances)
+                pa = x_from[self.edges]
+                pja = x_from[self.edges[eci]]
+                pb = xx[self.edges]
+                pjb = xx[self.edges[eci]]
+                crossed = _edge_pair_crossed(
+                    pa[:, None, 0, :], pa[:, None, 1, :],
+                    pja[..., 0, :], pja[..., 1, :],
+                    pb[:, None, 0, :], pb[:, None, 1, :],
+                    pjb[..., 0, :], pjb[..., 1, :],
+                )
+                ok = ok & ~(crossed & evalid).any()
             return ok
 
         def newton_iter(_, carry):

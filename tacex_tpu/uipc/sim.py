@@ -71,6 +71,11 @@ class UipcSimCfg:
         self_contact_k: int = 0
         # affine-body-vs-affine-body candidates (same scheme, ABD system)
         abd_contact_k: int = 8
+        # EDGE-EDGE candidates per surface edge for the NODAL system (FEM +
+        # cloth union; 0 = off). Cloth-cloth and cloth-gel contacts that
+        # meet edge-on (hems, coarse strips crossing) need EE pairs —
+        # vertex-triangle sampling hops them (IpcSolverCfg.ee_contact_k)
+        ee_contact_k: int = 0
         # FEM<->ABD cross-system candidates per vertex (both directions) for
         # the unified contact world (physics/soft/coupled.py). When a scene
         # contains FEM objects AND affine bodies, all of them join ONE
@@ -128,6 +133,7 @@ class UipcSimCfg:
             friction_mu=(self.contact.default_friction_ratio if self.contact.friction else 0.0),
             eps_velocity=self.contact.eps_velocity,
             self_contact_k=(self.contact.self_contact_k if self.contact.enable else 0),
+            ee_contact_k=(self.contact.ee_contact_k if self.contact.enable else 0),
         )
 
 

@@ -132,3 +132,82 @@ class TestCrossedRods:
         eci, evalid = model._select_ee_candidates(x)
         d_ee = np.asarray(model._ee_distances(x, eci))
         assert np.where(np.asarray(evalid), d_ee, 1.0).min() < 2 * model.cfg.d_hat
+
+
+class TestNodalCrossedBeams:
+    """EE pairs for the NODAL system (IpcSolverCfg.ee_contact_k): two
+    slender FEM beams crossing at 90 deg — vertices only at the corners,
+    so vertex-triangle sampling cannot see the mid-edge contact."""
+
+    @staticmethod
+    def _beam(hx, hy, hz, center):
+        """Corner-only slender box: 8 vertices, 5-tet decomposition (the
+        structured mesher adds midside vertices, which would let VT pairs
+        see the crossing and spoil the control)."""
+        from tacex_tpu.physics.soft.mesh import TetMesh, extract_surface
+
+        P = np.array(
+            [[x, y, z] for x in (-hx, hx) for y in (-hy, hy) for z in (-hz, hz)],
+            np.float64,
+        ) + np.asarray(center)
+        T = np.array(
+            [[0, 1, 2, 4], [1, 4, 5, 7], [1, 2, 3, 7], [2, 4, 6, 7], [1, 2, 4, 7]],
+            np.int32,
+        )
+        # fix inverted tets (positive volume convention)
+        d1 = P[T[:, 1]] - P[T[:, 0]]
+        d2 = P[T[:, 2]] - P[T[:, 0]]
+        d3 = P[T[:, 3]] - P[T[:, 0]]
+        vol = np.einsum("ij,ij->i", np.cross(d1, d2), d3)
+        T[vol < 0] = T[vol < 0][:, [0, 2, 1, 3]]
+        tris = extract_surface(T, P.astype(np.float32))
+        return TetMesh(
+            points=P.astype(np.float32), tets=T,
+            surface_tris=tris, surface_verts=np.unique(tris).astype(np.int32),
+        )
+
+    def _crossed_beams(self, ee_k: int, steps: int = 40):
+        from tacex_tpu.physics.soft.ipc import IpcSolverCfg, SoftBodyModel, SoftBodyState
+        from tacex_tpu.physics.soft.mesh import union_meshes
+
+        lo = self._beam(0.05, 0.002, 0.002, (0, 0, 0.0))
+        hi = self._beam(0.002, 0.05, 0.002, (0, 0, 0.0055))
+        mesh, offsets = union_meshes([lo, hi])
+        # pin ALL lower-beam vertices (it is the fixture)
+        att = np.arange(offsets[0], offsets[1], dtype=np.int32)
+        model = SoftBodyModel(
+            mesh,
+            youngs_modulus=1e7,  # stiff, rod-like
+            poisson_ratio=0.3,
+            cfg=IpcSolverCfg(
+                dt=DT, d_hat=5e-4, kappa=1e4, friction_mu=0.0,
+                self_contact_k=8, ee_contact_k=ee_k, velocity_tol=0.005,
+            ),
+            attachment_verts=att,
+            attachment_strength_ratio=1e4,
+        )
+        st = SoftBodyState.init(1, mesh.points)
+        scene = RigidSdfScene.empty(1)
+        aim = jnp.asarray(mesh.points[att])[None]
+        step = jax.jit(model.step)
+        for _ in range(steps):
+            st = step(st, scene, aim)
+        hi_z = np.asarray(st.x[0, offsets[1]:, 2])
+        return model, st, hi_z
+
+    def test_vertex_only_sampling_falls_through(self):
+        _, _, hi_z = self._crossed_beams(ee_k=0)
+        # upper beam tunneled through the pinned lower beam
+        assert hi_z.mean() < -0.015, hi_z.mean()
+
+    def test_edge_edge_pairs_hold_the_beam(self):
+        model, st, hi_z = self._crossed_beams(ee_k=4)
+        assert np.isfinite(hi_z).all()
+        # rests on the lower beam: started centered at 5.5 mm; contact
+        # leaves the center near ~4-5 mm (beam half-height 2 mm + gap)
+        assert hi_z.mean() > 0.0, hi_z.mean()
+        # and the contact is an EE pair in the barrier layer
+        x = st.x[0]
+        eci, evalid = model._select_ee_candidates(x)
+        d_ee = np.asarray(model._ee_distances(x, eci))
+        assert np.where(np.asarray(evalid), d_ee, 1.0).min() < 2 * model.cfg.d_hat
