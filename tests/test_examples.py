@@ -17,6 +17,7 @@ EXAMPLES = [
     "examples/falling_gel_cubes.py",
     "examples/single_uipc_attachment.py",
     "examples/grasp_lift.py",
+    "examples/cloth_trampoline.py",
     "examples/libuipc_samples/hello_uipc.py",
     "examples/libuipc_samples/periodically_pressed_tetrahedron.py",
     "examples/libuipc_samples/ramp_sliding.py",
