@@ -83,12 +83,37 @@ def make_fixed_sdf(task_name: str, t) -> callable:
 
     if task_name == "gear_mesh":
         rs = t.hole_diameter / 2  # gear-shaft radius (bore slides over it)
+        # REAL neighbor gears on the base (the reference GearMesh station
+        # meshes the held medium gear against gears already on their shafts,
+        # factory_tasks_cfg.py gear assets): same tooth module as the held
+        # gear (meshes.gear_mesh: r_root = 0.75 r_tip, 12 teeth), centers
+        # offset along +-y so tip circles interleave by ~3 mm. phase puts a
+        # tooth GAP on each line of centers where the held gear (at yaw 0)
+        # presents a tooth TIP — yaw-0 descent meshes; a half-tooth yaw
+        # lands tooth-over-tooth on the neighbor's top face and is blocked
+        # (tests/test_factory_contact.py TestGearTeeth).
+        r_tip_g = t.held_diameter / 2
+        r_root_g = 0.75 * r_tip_g
+        n_teeth = 12.0
+        center_d = r_tip_g + r_root_g + 0.0005
+        gear_z1 = half[2] + 0.8 * t.hole_depth
+        phase = GEAR_NEIGHBOR_PHASE
+        gears = jnp.asarray(
+            [
+                [0.0, center_d, r_root_g, r_tip_g, n_teeth, half[2], gear_z1, phase],
+                [0.0, -center_d, r_root_g, r_tip_g, n_teeth, half[2], gear_z1, phase],
+            ],
+            jnp.float32,
+        )
 
         def sdf(p):
             plate = _sdf_box(p, half)
             shaft = _sdf_capped_cylinder(p, rs, half[2], half[2] + t.hole_depth)
             table = p[2] - table_z
-            return jnp.minimum(jnp.minimum(plate, shaft), table)
+            d_gears = sdf_ops.sdf_gear(p[None], gears)[0].min()
+            return jnp.minimum(
+                jnp.minimum(jnp.minimum(plate, shaft), table), d_gears
+            )
 
         return sdf
 
@@ -122,6 +147,13 @@ def make_fixed_sdf(task_name: str, t) -> callable:
 
 NUM_POINTS = 96
 
+#: tooth phase of the fixed neighbor gears (rad): chosen numerically so a
+#: yaw-0 held gear's tooth tips pass through the neighbors' tooth GAPS on
+#: the line of centers (phase sweep: +1.0 mm clearance meshed, -0.7 mm
+#: tooth-on-tooth interference at a half-tooth yaw; see
+#: tests/test_factory_contact.py TestGearTeeth geometry check)
+GEAR_NEIGHBOR_PHASE = 0.0218
+
 
 def make_held_points(task_name: str, t) -> np.ndarray:
     """(NUM_POINTS, 3) contact sample points on the held asset surface."""
@@ -151,6 +183,17 @@ def make_held_points(task_name: str, t) -> np.ndarray:
             for k in range(n):
                 a = 2 * math.pi * (k + 0.5 * j) / n
                 pts.append([rr * math.cos(a), rr * math.sin(a), 0.0])
+        # tooth-tip samples (meshes.gear_mesh tooth i tips span
+        # [i, i+0.5] * 2pi/12): one point per tooth at the tip-arc center,
+        # at the BOTTOM face (lands tooth-over-tooth on a neighbor gear's
+        # top when unmeshed) and at neighbor-gear height (flank contact
+        # while meshing). These are what make tooth meshing EMERGE from
+        # contact against sdf_gear neighbors.
+        r_tooth = ro * 0.985
+        for z in (0.0, 0.008):
+            for i in range(12):
+                a = 2 * math.pi * (i + 0.25) / 12
+                pts.append([r_tooth * math.cos(a), r_tooth * math.sin(a), z])
     elif task_name == "nut_thread":
         # the nut's INTERNAL thread: sample its tooth-tip helix (the inward
         # crest at r_mid_nut - depth/2, following z = pitch * theta / 2pi,

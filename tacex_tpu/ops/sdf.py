@@ -139,6 +139,46 @@ def sdf_threads(p: jax.Array, threads: jax.Array) -> jax.Array:
     return jnp.where(side[None, :] != 0, d, BIG)
 
 
+def sdf_gear(p: jax.Array, gears: jax.Array) -> jax.Array:
+    """(P, 3) points vs (G, 8) z-axis spur gears -> (P, G) distances.
+
+    The fixed neighbor gears of the Factory GearMesh station (the reference
+    task meshes the held medium gear against gears already on the base,
+    factory_tasks_cfg.py gear assets via PhysX SDF collision). A gear is a
+    cylinder whose radius alternates between r_tip (tooth) and r_root
+    (gap) around the circumference:
+
+      r(theta) = r_root + (r_tip - r_root) * sigma(cos(n (theta - phase)))
+
+    with sigma a clamped linear smoothing (tooth flanks ~0.4 rad of cosine
+    wide) so autodiff normals exist on the flanks. The field is the RADIAL
+    distance rho - r(theta) intersected with the z-slab — not a true
+    Euclidean SDF near the flank walls (error O(flank slope)), but the
+    factory contact model only needs penetration depth + an outward
+    gradient, and tooth-over-tooth landing uses the exact top-face term.
+
+    Layout per gear: [cx, cy, r_root, r_tip, n_teeth, z0, z1, phase].
+    """
+    c = gears[:, 0:2]
+    r_root, r_tip = gears[:, 2], gears[:, 3]
+    n_teeth = gears[:, 4]
+    z0, z1, phase = gears[:, 5], gears[:, 6], gears[:, 7]
+    rel = p[:, None, 0:2] - c[None, :, :]  # (P, G, 2)
+    rho2 = (rel**2).sum(-1)
+    rho = jnp.sqrt(rho2 + 1e-20)
+    on_axis = rho2 < 1e-16
+    theta = jnp.arctan2(
+        jnp.where(on_axis, 1.0, rel[..., 1]), jnp.where(on_axis, 1.0, rel[..., 0])
+    )
+    cw = jnp.cos(n_teeth[None, :] * (theta - phase[None, :]))
+    sigma = jnp.clip(0.5 + cw / 0.8, 0.0, 1.0)
+    r_surf = r_root[None, :] + (r_tip - r_root)[None, :] * sigma
+    d_radial = rho - r_surf
+    z = p[:, None, 2]
+    d = jnp.maximum(d_radial, jnp.maximum(z0[None, :] - z, z - z1[None, :]))
+    return d
+
+
 def scene_sdf(
     p: jax.Array,  # (P, 3)
     spheres: jax.Array,

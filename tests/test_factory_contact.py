@@ -240,3 +240,70 @@ class TestNutThread:
         # the mean driving torque about z is decisively negative (driving
         # the -z rotation against thread friction + load)
         assert np.mean(taus[50:]) < -1e-3, np.mean(taus[50:])
+
+
+class TestGearTeeth:
+    """The GearMesh station has REAL neighbor gears (ops/sdf.py sdf_gear):
+    tooth meshing emerges from contact — a meshed-phase gear seats, a
+    half-tooth-rotated gear lands tooth-over-tooth and is blocked (the
+    reference meshes the held gear against gears already on the base,
+    factory_tasks_cfg.py gear assets via PhysX SDF collision)."""
+
+    def _tooth_points(self, t):
+        pts = np.asarray(fc.make_held_points("gear_mesh", t))
+        r = np.linalg.norm(pts[:, :2], axis=1)
+        return pts[np.abs(r - 0.985 * t.held_diameter / 2) < 1e-5]
+
+    def test_mesh_geometry_alternates_with_yaw(self):
+        """Seated at plate-top height: meshed yaw clears the neighbors,
+        half-tooth yaw interferes (negative distance)."""
+        from tacex_tpu.ops import sdf as sdf_ops
+
+        t = gear_mesh_task()
+        half = np.asarray(t.fixed_size, np.float32) / 2
+        r_tip = t.held_diameter / 2
+        r_root = 0.75 * r_tip
+        D = r_tip + r_root + 0.0005
+        z1 = half[2] + 0.8 * t.hole_depth
+        gears = jnp.asarray(
+            [
+                [0.0, D, r_root, r_tip, 12.0, half[2], z1, fc.GEAR_NEIGHBOR_PHASE],
+                [0.0, -D, r_root, r_tip, 12.0, half[2], z1, fc.GEAR_NEIGHBOR_PHASE],
+            ],
+            jnp.float32,
+        )
+        tooth = self._tooth_points(t)
+
+        def min_d(yaw):
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+            p = tooth @ R.T + np.array([0, 0, half[2] + 1e-4], np.float32)
+            return float(np.asarray(sdf_ops.sdf_gear(jnp.asarray(p), gears)).min())
+
+        assert min_d(0.0) > 5e-4, min_d(0.0)  # meshed: clears
+        assert min_d(np.pi / 12) < -3e-4, min_d(np.pi / 12)  # tooth-on-tooth
+
+    def test_unmeshed_gear_blocked_above_plate(self):
+        """Dynamics: a half-tooth-rotated gear descends onto the neighbor
+        gears' tooth tops and is BLOCKED well above the plate; the meshed
+        gear (existing test) seats fully."""
+        t, sdf, pts, fixed_pos, fixed_quat = _setup(gear_mesh_task, "gear_mesh")
+        top_z = float(fixed_pos[0, 2] + t.fixed_size[2] / 2)
+        yaw = maths.quat_from_angle_axis(
+            jnp.asarray(np.pi / 12), jnp.array([0.0, 0.0, 1.0])
+        )
+        quat0 = jnp.broadcast_to(yaw, (2, 4))
+        st = fc.HeldState.init(2)
+        st = st.__class__(
+            pos=fixed_pos + jnp.array([0.0, 0.0, t.fixed_size[2] / 2 + t.hole_depth + 0.005]),
+            quat=quat0, linvel=st.linvel, angvel=st.angvel,
+        )
+        grasp = fixed_pos + jnp.array([0.0, 0.0, t.fixed_size[2] / 2 - 0.002])
+        st, _ = _run(
+            st, 240, grasp, quat0, fixed_pos, fixed_quat,
+            pts, sdf, "gear_mesh", fc.ContactParams(),
+        )
+        z = np.asarray(st.pos[:, 2])
+        # blocked at the neighbor-gear top (0.8 * hole_depth above the
+        # plate), nowhere near seated
+        assert (z > top_z + 0.5 * t.hole_depth).all(), (z, top_z)
