@@ -243,7 +243,14 @@ class UipcSim:
             )
             self._coupled_step_fn = jax.jit(self._coupled.step)
             in_union = nodal_objs
-        elif self.cfg.contact.self_contact_k > 0 and len(nodal_objs) >= 2:
+        elif self.cfg.contact.self_contact_k > 0 and (
+            len(nodal_objs) >= 2 or shell_objs
+        ):
+            # >= 2 nodal objects (object-object contact), or ANY shell with
+            # self-contact requested: a lone cloth folding onto itself needs
+            # the union model's vertex-triangle self-contact machinery —
+            # the standalone ShellModel only collides with static/scene
+            # colliders
             self._setup_union(nodal_objs, static_tris=static_tris)
             in_union = nodal_objs
         else:
