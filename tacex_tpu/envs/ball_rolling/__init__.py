@@ -42,15 +42,20 @@ register(
 )
 
 
-def _uipc_cfg():
-    return _cfg(num_envs=16, obs_mode="rgb", with_markers=False)
+from .env_uipc import BallRollingUipcEnv, BallRollingUipcEnvCfg  # noqa: E402
 
 
-from .env_uipc import BallRollingUipcEnv  # noqa: E402
+def _uipc_cfg(**kw) -> BallRollingUipcEnvCfg:
+    # the Uipc cfg subclass, so envs.make(..., gel_resolution=...,
+    # gel_embed_surface=...) overrides reach the UIPC-specific knobs
+    return BallRollingUipcEnvCfg().replace(
+        num_envs=16, obs_mode="rgb", with_markers=False, **kw
+    )
+
 
 register("TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0", BallRollingUipcEnv, _uipc_cfg)
 register(
     "TacEx-Ball-Rolling-Uipc-Textured-v0",
     BallRollingUipcEnv,
-    lambda: _cfg(num_envs=16, obs_mode="camera_rgb", with_markers=False),
+    lambda: _uipc_cfg(obs_mode="camera_rgb"),
 )

@@ -1,0 +1,20 @@
+"""Grasp-and-lift task registrations.
+
+No reference counterpart: the reference's libuipc scenes are single-env
+(SURVEY §2.6) so it has no batched grasp RL task — this env exists to
+exercise the round-3 unified FEM<->ABD contact world at RL scale.
+"""
+
+from ..base import register
+from .env import GraspLiftEnv, GraspLiftEnvCfg
+
+register(
+    "TacEx-Grasp-Lift-Uipc-v0",
+    GraspLiftEnv,
+    lambda: GraspLiftEnvCfg(),
+)
+register(
+    "TacEx-Grasp-Lift-Uipc-Tactile-v0",
+    GraspLiftEnv,
+    lambda: GraspLiftEnvCfg().replace(obs_mode="depth"),
+)

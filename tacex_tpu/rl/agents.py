@@ -46,6 +46,10 @@ PPO_AGENT_CFGS: dict[str, dict] = {
     "TacEx-Factory-PegInsert-Direct-v0": _FACTORY_PPO,
     "TacEx-Factory-GearMesh-Direct-v0": _FACTORY_PPO,
     "TacEx-Factory-NutThread-Direct-v0": _FACTORY_PPO,
+    # coupled-world grasp (no reference counterpart): short horizon, state
+    # policy — the state split's hyperparameters fit
+    "TacEx-Grasp-Lift-Uipc-v0": _STATE_PPO,
+    "TacEx-Grasp-Lift-Uipc-Tactile-v0": _VISION_PPO,
 }
 
 # skrl_sac_cfg.yaml: batch 256, lr 1e-4 (state) / 5e-4 grad steps (vision)

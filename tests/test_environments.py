@@ -18,10 +18,22 @@ from tacex_tpu import envs
 # lax.scan so the sweep compiles once per (env_id, num_envs).
 STEPS = 100
 
+# Coupled-world envs (one Newton solve over FEM + ABD DOFs per substep) are
+# ~7 s/step at 32 envs on the CPU test platform — even a reduced sweep cell
+# costs minutes. Their full coverage (random-action NaN/termination sweep,
+# scripted lift, mu=0 control, auto-reset, tactile) lives in
+# tests/test_grasp_lift.py at a scale that fits its own file budget.
+_OWN_SUITE = {
+    "TacEx-Grasp-Lift-Uipc-v0",
+    "TacEx-Grasp-Lift-Uipc-Tactile-v0",
+}
+
 
 @pytest.mark.parametrize("env_id", envs.registered_envs())
 @pytest.mark.parametrize("num_envs", [1, 32])
 def test_random_actions_no_nans(env_id, num_envs):
+    if env_id in _OWN_SUITE:
+        pytest.skip("coupled-world env: swept in tests/test_grasp_lift.py")
     env = envs.make(env_id, num_envs=num_envs)
     key = jax.random.PRNGKey(0)
     state = env.init_state(key)

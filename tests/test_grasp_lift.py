@@ -1,0 +1,134 @@
+"""Grasp-and-lift RL env: the unified FEM<->ABD contact world at RL scale.
+
+The env (envs/grasp_lift/env.py) wraps the round-3 coupled solver in the
+DirectRLEnv protocol: batched, auto-resetting, with gel-deformation
+tactile observations. These tests mirror tests/test_coupled.py's physics
+assertions THROUGH the env API — the friction-carried lift and its mu=0
+control — plus the random-action sweep the other env families get in
+tests/test_environments.py (run here, at a scale that fits the file
+budget: the coupled Newton solve is ~7 s/step at 32 envs on CPU).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacex_tpu import envs
+
+
+def _scripted_rollout(env, steps, squeeze_steps=30):
+    """Squeeze for ``squeeze_steps``, then keep a light squeeze and lift.
+
+    Returns (state, obs, cube-z trajectory (T, N), any-termination flag).
+    """
+    st = env.init_state(jax.random.PRNGKey(0))
+    st, _ = env.reset_all(st)
+    step = jax.jit(env.step)
+    n = env.cfg.num_envs
+    traj, any_term = [], False
+    for i in range(steps):
+        a = (
+            jnp.tile(jnp.array([[1.0, 0.0]]), (n, 1))
+            if i < squeeze_steps
+            else jnp.tile(jnp.array([[0.3, 1.0]]), (n, 1))
+        )
+        st, obs, rew, term, trunc, info = step(st, a)
+        traj.append(np.asarray(info["cube_z"]))
+        any_term = any_term or bool(np.asarray(term).any())
+    return st, obs, np.asarray(traj), any_term
+
+
+class TestGraspLift:
+    def test_scripted_grasp_lifts_cube(self):
+        """Squeeze-then-lift carries the cube up by gel friction: the cube
+        rises with the pads (slip allowed) well above its start height."""
+        env = envs.make(
+            "TacEx-Grasp-Lift-Uipc-v0", num_envs=2, squeeze_rate=4e-3,
+            episode_length_s=3.0,
+        )
+        st, obs, traj, _ = _scripted_rollout(env, steps=60)
+        assert np.isfinite(traj).all()
+        # during the squeeze phase friction HOLDS the cube (it never drops
+        # more than ~3 mm), and the lift carries it up afterwards
+        assert traj[:30].min() > -0.003, traj[:30].min()
+        assert traj[-1].min() > 0.004, traj[-1]
+
+    def test_frictionless_control_slips(self):
+        """mu = 0: the same squeeze cannot hold the cube — it slides out
+        while the pads rise, crossing drop_z (proves the lift above is
+        friction-carried, and that the drop termination fires)."""
+        env = envs.make(
+            "TacEx-Grasp-Lift-Uipc-v0", num_envs=2, squeeze_rate=4e-3,
+            friction_mu=0.0, episode_length_s=3.0,
+        )
+        st, obs, traj, any_term = _scripted_rollout(env, steps=45)
+        assert np.isfinite(traj).all()
+        # slid below the drop threshold at some point (post-drop frames may
+        # already be auto-reset, so check the trajectory minimum)
+        assert traj.min() < -0.0075, traj.min()
+        assert any_term, "drop never terminated an episode"
+
+    def test_random_actions_and_auto_reset(self):
+        """The test_environments.py sweep contract at this family's scale:
+        random actions, finite outputs, at least one termination, and the
+        masked in-graph reset re-zeroes the done envs' bookkeeping."""
+        n = 4
+        env = envs.make("TacEx-Grasp-Lift-Uipc-v0", num_envs=n)
+        st = env.init_state(jax.random.PRNGKey(0))
+        st, obs = env.reset_all(st)
+        for k in obs:
+            assert bool(jnp.isfinite(obs[k]).all())
+        steps = 20
+        actions = jax.random.uniform(
+            jax.random.PRNGKey(1), (steps, n, 2), minval=-1.0, maxval=1.0
+        )
+        rollout = jax.jit(env.rollout_fn(steps))
+        final_state, (obs_seq, rew_seq, term_seq, trunc_seq) = rollout(st, actions)
+        for k, v in obs_seq.items():
+            assert bool(jnp.isfinite(v).all()), f"obs[{k}] non-finite"
+        assert bool(jnp.isfinite(rew_seq).all())
+        # NOTE: random actions do NOT reliably drop the cube — with the
+        # +-1 mm reset offset it can lean on a pad and the barrier's
+        # friction holds its 0.07 N weight. Termination + masked reset are
+        # asserted deterministically: inject a dropped cube and step once.
+        import dataclasses as _dc
+
+        q = final_state.cube.q.at[0, 0, 2].set(env.cfg.drop_z - 0.002)
+        st2 = _dc.replace(
+            final_state, cube=_dc.replace(final_state.cube, q=q)
+        )
+        st2, obs2, rew2, term2, trunc2, info2 = jax.jit(env.step)(
+            st2, jnp.zeros((n, 2))
+        )
+        assert bool(np.asarray(term2)[0]), "injected drop did not terminate"
+        # the done env was masked-reset in-graph: bookkeeping re-zeroed and
+        # the cube back near the start pose
+        assert int(np.asarray(st2.episode_length)[0]) == 0
+        assert abs(float(np.asarray(st2.cube.q)[0, 0, 2])) < 1e-3
+
+    def test_tactile_depth_obs(self):
+        """obs_mode='depth': per-pad compression images are real gel
+        deformation — the cube's square footprint indents the face center
+        clearly more than the (Poisson-bulged) face corners."""
+        env = envs.make(
+            "TacEx-Grasp-Lift-Uipc-Tactile-v0", num_envs=1, squeeze_rate=4e-3,
+        )
+        st = env.init_state(jax.random.PRNGKey(0))
+        st, obs = env.reset_all(st)
+        assert "vision_obs" in obs
+        step = jax.jit(env.step)
+        a = jnp.array([[1.0, 0.0]])
+        for _ in range(25):
+            st, obs, rew, term, trunc, info = step(st, a)
+        img = np.asarray(obs["vision_obs"])[0]  # (gh, gw, 2)
+        assert np.isfinite(img).all()
+        gh, gw, _ = img.shape
+        center = img[gh // 2, gw // 2]
+        corners = img[[0, 0, -1, -1], [0, -1, 0, -1]]
+        # the 15 mm cube presses the middle of the 30 mm face; the whole
+        # pad is squeezed so corners carry SOME compression (global squeeze
+        # + Poisson bulge) — the discriminating signal is center vs corners
+        assert (center > 0.3).all(), center  # > 0.3 mm indentation
+        assert (center > corners.mean(axis=0) + 0.25).all(), (center, corners)
