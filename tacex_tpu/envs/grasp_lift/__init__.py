@@ -16,5 +16,6 @@ register(
 register(
     "TacEx-Grasp-Lift-Uipc-Tactile-v0",
     GraspLiftEnv,
-    lambda: GraspLiftEnvCfg().replace(obs_mode="depth"),
+    # dense 16x16 embedded tactile image per pad at coarse-solve cost
+    lambda: GraspLiftEnvCfg().replace(obs_mode="depth", tactile_embed=(16, 16)),
 )

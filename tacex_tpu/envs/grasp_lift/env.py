@@ -81,6 +81,11 @@ class GraspLiftEnvCfg(DirectRLEnvCfg):
 
     # scene
     pad_resolution: tuple = (2, 4, 4)
+    # dense tactile: embed an (eh, ew) surface grid on each pad's inner
+    # face (one-time barycentric binding, physics/soft/embed.py) so the
+    # depth obs is a real sensor-resolution image at coarse-solve cost.
+    # None keeps the raw coarse-grid image.
+    tactile_embed: tuple | None = None
     gel_youngs_modulus_mpa: float = 0.1
     gel_poisson_ratio: float = 0.45
     gel_density: float = 1000.0
@@ -170,6 +175,24 @@ class GraspLiftEnv(DirectRLEnv):
         )  # (2, gh, gw) union vertex ids
         self._pad_sgn = jnp.asarray([-1.0, 1.0])  # sign of each pad's center x
         self._rest_points = jnp.asarray(union.points, jnp.float32)
+
+        # dense embedded tactile surfaces (one per pad, bound once).
+        # EmbeddedFaceGrid binds in grid-index space, so the x-normal inner
+        # faces work exactly like the z-normal gel face in the ball env.
+        if c.tactile_embed is not None:
+            from ...physics.soft.embed import EmbeddedFaceGrid
+
+            self._embeds = [
+                EmbeddedFaceGrid(
+                    np.asarray(g + offsets[i]), union.points, c.tactile_embed
+                )
+                for i, g in enumerate(inner_grids)
+            ]
+            self._embed_rest_x = jnp.asarray(
+                np.stack([e.rest_points[:, 0] for e in self._embeds])
+            )  # (2, eh*ew)
+        else:
+            self._embeds = None
 
         fem_cfg = IpcSolverCfg(
             dt=c.sim_dt,
@@ -288,10 +311,18 @@ class GraspLiftEnv(DirectRLEnv):
         at rest - pad_sgn * squeeze along x; contact with the cube holds
         it back. Compression = (rigid-expected - actual) along the pad's
         inward normal (positive = indented by the cube)."""
-        grids = self._inner_grids  # (2, gh, gw)
-        x = gel_x[:, grids.reshape(-1), 0]  # (N, 2*gh*gw) current x coords
-        x = x.reshape(gel_x.shape[0], *grids.shape)  # (N, 2, gh, gw)
-        rest = self._rest_points[grids.reshape(-1), 0].reshape(grids.shape)
+        if self._embeds is not None:
+            eh, ew = self._embeds[0].shape
+            x = jnp.stack(
+                [e.positions(gel_x)[..., 0] for e in self._embeds], axis=1
+            )  # (N, 2, eh*ew)
+            x = x.reshape(gel_x.shape[0], 2, eh, ew)
+            rest = self._embed_rest_x.reshape(2, eh, ew)
+        else:
+            grids = self._inner_grids  # (2, gh, gw)
+            x = gel_x[:, grids.reshape(-1), 0]  # (N, 2*gh*gw) current x coords
+            x = x.reshape(gel_x.shape[0], *grids.shape)  # (N, 2, gh, gw)
+            rest = self._rest_points[grids.reshape(-1), 0].reshape(grids.shape)
         sgn = self._pad_sgn[None, :, None, None]  # pad 0: -1, pad 1: +1
         expected = rest[None] - sgn * squeeze[:, None, None, None]
         # inward normal = -sgn (pad 0 presses toward +x)
