@@ -13,7 +13,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys as _sys
 import time
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[2]))  # repo root
 
 import numpy as np
 
@@ -89,8 +93,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=64)
     ap.add_argument("--bodies", type=int, default=8)
+    ap.add_argument(
+        "--solver", default=None, choices=("dense", "cg"),
+        help="run only this solver at --envs (default: dense@1, dense@N, cg@N)",
+    )
     args = ap.parse_args()
-    for solver, n in (("dense", 1), ("dense", args.envs), ("cg", args.envs)):
+    if args.solver:
+        configs = ((args.solver, args.envs),)
+    else:
+        configs = (("dense", 1), ("dense", args.envs), ("cg", args.envs))
+    for solver, n in configs:
         print(json.dumps(run(solver, n, args.bodies)))
 
 
