@@ -36,10 +36,14 @@ def run(env_id: str, n_envs: int, steps: int) -> dict:
     step = jax.jit(env.step)
 
     rng = np.random.default_rng(0)
-    # gentle squeeze + lift so the solve carries real grasp contact
+    # gentle squeeze + lift so the solve carries real grasp contact; the
+    # mean is sized to the env's action space (first two dims are the
+    # squeeze/lift rates; anything beyond stays zero-mean)
+    loc = np.zeros(env.cfg.action_space)
+    loc[:2] = [0.6, 0.4]
     actions = jnp.asarray(
         np.clip(
-            rng.normal([0.6, 0.4], 0.2, (steps + 1, n_envs, env.cfg.action_space)),
+            rng.normal(loc, 0.2, (steps + 1, n_envs, env.cfg.action_space)),
             -1.0,
             1.0,
         ).astype(np.float32)

@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--shard", action="store_true", help="shard envs over all devices")
     p.add_argument("--log_interval", type=int, default=1)
     p.add_argument("--viz_dir", default=None, help="write metric plots (LiveVisualizer)")
+    p.add_argument(
+        "--viz_interval", type=int, default=50,
+        help="refresh the metrics png + tactile-obs frame strip every N iters",
+    )
     args = p.parse_args()
 
     env = envs.make(args.task, num_envs=args.num_envs)
@@ -75,11 +79,34 @@ def main() -> None:
         path = Path(args.checkpoint_dir).absolute()
         ckpt_mgr = ocp.CheckpointManager(path, options=ocp.CheckpointManagerOptions(max_to_keep=3))
 
+    # training observability (reference DirectLiveVisualizer role,
+    # direct_live_visualizer.py:20-206, headless): metrics JSONL under the
+    # run dir + periodic png dashboard and tactile-obs frame strip
     viz = None
+    run_dir = args.viz_dir or args.checkpoint_dir
+    metrics_fp = None
+    if run_dir:
+        Path(run_dir).mkdir(parents=True, exist_ok=True)
+        metrics_fp = open(Path(run_dir) / "metrics.jsonl", "a")
     if args.viz_dir:
         from tacex_tpu.utils import LiveVisualizer
 
         viz = LiveVisualizer(args.viz_dir)
+
+    def _grab_tactile_frame(obs) -> None:
+        """First env's vision obs -> normalized frame for the strip."""
+        import numpy as np
+
+        v = obs.get("vision_obs") if isinstance(obs, dict) else None
+        if v is None or viz is None:
+            return
+        f = np.asarray(jax.device_get(v[0]), dtype=float)  # (h, w, c)
+        if f.shape[-1] >= 3:
+            f = f[..., :3]
+        else:
+            f = f[..., :1].repeat(3, -1)
+        lo, hi = f.min(), f.max()
+        viz.add_frame("tactile_obs", (f - lo) / max(hi - lo, 1e-6))
 
     step_fn = ppo.jit_train_step()
     t_start = time.time()
@@ -90,19 +117,22 @@ def main() -> None:
         dt = time.time() - t0
         if it % args.log_interval == 0:
             sps = args.num_envs * getattr(cfg, 'rollouts', getattr(cfg, 'rollout_steps', 1)) / dt
-            print(
-                json.dumps(
-                    {
-                        "iter": it,
-                        "env_steps": int(ts.steps),
-                        "steps_per_sec": round(sps, 1),
-                        **{k: round(v, 5) for k, v in metrics.items()},
-                    }
-                ),
-                flush=True,
-            )
+            line = {
+                "iter": it,
+                "env_steps": int(ts.steps),
+                "steps_per_sec": round(sps, 1),
+                **{k: round(v, 5) for k, v in metrics.items()},
+            }
+            print(json.dumps(line), flush=True)
+            if metrics_fp is not None:
+                metrics_fp.write(json.dumps(line) + "\n")
+                metrics_fp.flush()
         if viz is not None:
             viz.add_scalars(int(ts.steps), metrics)
+            if (it + 1) % args.viz_interval == 0 or it + 1 == args.iterations:
+                _grab_tactile_frame(getattr(ts, "obs", None))
+                viz.save_plots()
+                viz.save_frame_strip("tactile_obs")
         if ckpt_mgr is not None and (it + 1) % args.checkpoint_interval == 0:
             params = ts.params if hasattr(ts, "params") else ts.actor_params
             ckpt_mgr.save(it, args=__import__("orbax.checkpoint", fromlist=["args"]).args.StandardSave(
@@ -113,6 +143,9 @@ def main() -> None:
     if viz is not None:
         path = viz.save_plots()
         print(f"metric plots -> {path}")
+    if metrics_fp is not None:
+        metrics_fp.close()
+        print(f"metrics jsonl -> {Path(run_dir) / 'metrics.jsonl'}")
     print(f"done: {int(ts.steps)} env steps in {time.time() - t_start:.1f}s")
 
 

@@ -48,9 +48,9 @@ from .env_uipc import BallRollingUipcEnv, BallRollingUipcEnvCfg  # noqa: E402
 def _uipc_cfg(**kw) -> BallRollingUipcEnvCfg:
     # the Uipc cfg subclass, so envs.make(..., gel_resolution=...,
     # gel_embed_surface=...) overrides reach the UIPC-specific knobs
-    return BallRollingUipcEnvCfg().replace(
-        num_envs=16, obs_mode="rgb", with_markers=False, **kw
-    )
+    base = dict(num_envs=16, obs_mode="rgb", with_markers=False)
+    base.update(kw)
+    return BallRollingUipcEnvCfg().replace(**base)
 
 
 register("TacEx-Ball-Rolling-Tactile-RGB-Uipc-v0", BallRollingUipcEnv, _uipc_cfg)

@@ -14,8 +14,15 @@ register(
     lambda: GraspLiftEnvCfg(),
 )
 register(
+    "TacEx-Grasp-Lift-Uipc-Depth-v0",
+    GraspLiftEnv,
+    # cheap mode: dense 16x16 embedded COMPRESSION image per pad
+    lambda: GraspLiftEnvCfg().replace(obs_mode="depth", tactile_embed=(16, 16)),
+)
+register(
     "TacEx-Grasp-Lift-Uipc-Tactile-v0",
     GraspLiftEnv,
-    # dense 16x16 embedded tactile image per pad at coarse-solve cost
-    lambda: GraspLiftEnvCfg().replace(obs_mode="depth", tactile_embed=(16, 16)),
+    # full GelSight stack: per-pad Taxim tactile RGB + FOTS marker motion
+    # rendered from the embedded dense inner-face surface (32x32 camera)
+    lambda: GraspLiftEnvCfg().replace(obs_mode="tactile", tactile_embed=(32, 32)),
 )

@@ -21,8 +21,17 @@ Observations:
   * privileged: cube pose/velocity + gripper state + per-pad mean gel
     compression (the grip-force observable).
   * depth: the same proprio plus a (gh, gw, 2) per-pad inner-face normal
-    COMPRESSION image — the true tactile signal, straight from the FEM
+    COMPRESSION image — the cheap tactile signal, straight from the FEM
     state (positive = gel pressed in by the cube).
+  * tactile: the FULL GelSight stack (reference sensor contract,
+    source/tacex/tacex/gelsight_sensor.py:265-319): each pad carries a
+    sensor camera that rides the pad mount and images the embedded dense
+    inner-face surface (physics/soft/embed.py); the per-pad depth map
+    feeds the shared ``GelSightSensor`` facade, so the env emits real
+    Taxim ``tactile_rgb`` and FOTS ``marker_motion`` from the coupled
+    FEM solve. Because the camera moves rigidly with the mount, the
+    camera-frame depth is exactly ``cam_to_contact − compression``, so
+    the cheap compression image and the sensor path share one gather.
 
 Rewards: lift progress toward ``lift_target``, grip shaping while not yet
 lifted, drop penalty, action-rate penalty, success bonus (cube carried to
@@ -48,6 +57,9 @@ from ...physics.soft.ipc import (
     SoftBodyState,
 )
 from ...physics.soft.mesh import box_tet_mesh, union_meshes
+from ...sensors.gelsight.fots import marker_motion as fots
+from ...sensors.gelsight.sensor import GelSightSensor, GelSightSensorState
+from ...sensors.gelsight.sensor_cfg import gelsight_mini_cfg
 from ..base import DirectRLEnv, DirectRLEnvCfg
 
 PAD_SIZE = (0.01, 0.03, 0.03)  # per-pad box (m); GelSight-Mini-ish gel slab
@@ -77,7 +89,15 @@ class GraspLiftEnvCfg(DirectRLEnvCfg):
     sim_dt: float = 1.0 / 100.0
     decimation: int = 2
     action_space: int = 2  # squeeze rate, lift rate
-    obs_mode: str = "privileged"  # privileged | depth
+    obs_mode: str = "privileged"  # privileged | depth | tactile
+
+    # tactile mode (full GelSight stack): per-pad sensor camera resolution
+    # (w, h) — the optical path runs at this res like the flagship task
+    # (reference gsmini_taxim_fots pairs 32x24 optics with 320x240 FOTS
+    # marker coordinates); composite vision obs is (vh, vw, 6) = two pads
+    # channel-stacked, the factory-env two-finger layout.
+    camera_resolution: tuple = (32, 32)
+    vision_obs_shape: tuple = (32, 32, 3)
 
     # scene
     pad_resolution: tuple = (2, 4, 4)
@@ -136,6 +156,10 @@ class GraspLiftState:
     prev_actions: jax.Array  # (N, 2)
     episode_length: jax.Array  # (N,) int32
     ep_succeeded: jax.Array  # (N,) bool
+    # FOTS trajectory state for both pad sensors, pad-major (2N rows:
+    # [pad0 envs; pad1 envs]). Tiny; carried in every obs_mode so the
+    # state pytree structure is mode-independent.
+    sensor: GelSightSensorState
     key: jax.Array
 
 
@@ -237,6 +261,27 @@ class GraspLiftEnv(DirectRLEnv):
             sc.planes.at[:, 0].set(jnp.array([0.0, 0.0, 1.0, c.ground_z])),
         )
 
+        # full GelSight stack (obs_mode == "tactile"): ONE batched sensor
+        # evaluates both pads, env axis = 2N pad-major (the factory-env
+        # two-finger pattern, envs/factory/env.py). Markers stay on — the
+        # sensor state is carried in GraspLiftState across steps.
+        if c.obs_mode == "tactile":
+            res = tuple(c.camera_resolution)
+            self.sensor = GelSightSensor(
+                gelsight_mini_cfg(
+                    with_markers=True, camera_resolution=res, tactile_img_res=res
+                ),
+                num_envs=2 * c.num_envs,
+            )
+            ocfg = self.sensor.cfg.optical_sim_cfg
+            # camera-to-rest-contact-face distance: undeformed gel images at
+            # exactly zero indentation (sensor.compute_indentation_depth)
+            self._cam_to_contact = (
+                ocfg.gelpad_to_camera_min_distance + ocfg.gelpad_height
+            )
+        else:
+            self.sensor = None
+
     # ------------------------------------------------------------------ state
     def init_state(self, key: jax.Array) -> GraspLiftState:
         n = self.cfg.num_envs
@@ -249,12 +294,14 @@ class GraspLiftEnv(DirectRLEnv):
             prev_actions=jnp.zeros((n, 2)),
             episode_length=jnp.zeros((n,), jnp.int32),
             ep_succeeded=jnp.zeros((n,), bool),
+            sensor=GelSightSensorState.init(2 * n),
             key=key,
         )
 
     def reset_all(self, state: GraspLiftState):
         state = self._reset_where(state, jnp.ones((self.cfg.num_envs,), bool))
-        return state, self._observations(state)
+        obs, state, _ = self._observations(state)
+        return state, obs
 
     def _reset_where(self, state: GraspLiftState, mask: jax.Array) -> GraspLiftState:
         n = self.cfg.num_envs
@@ -275,6 +322,13 @@ class GraspLiftEnv(DirectRLEnv):
             x=jnp.where(mask[:, None, None], gel0, state.gel.x),
             v=jnp.where(mask[:, None, None], 0.0, state.gel.v),
         )
+        # sensor traj rows are pad-major (2N): both pads reset together
+        mask2 = jnp.concatenate([mask, mask])
+        sensor = GelSightSensorState(
+            traj_start=jnp.where(mask2[:, None], 0.0, state.sensor.traj_start),
+            traj_curr=jnp.where(mask2[:, None], 0.0, state.sensor.traj_curr),
+            traj_count=jnp.where(mask2, 0, state.sensor.traj_count),
+        )
         return GraspLiftState(
             gel=gel,
             cube=cube,
@@ -284,6 +338,7 @@ class GraspLiftEnv(DirectRLEnv):
             prev_actions=jnp.where(m1, 0.0, state.prev_actions),
             episode_length=jnp.where(mask, 0, state.episode_length),
             ep_succeeded=jnp.where(mask, False, state.ep_succeeded),
+            sensor=sensor,
             key=key,
         )
 
@@ -367,6 +422,7 @@ class GraspLiftEnv(DirectRLEnv):
             prev_actions=prev_actions,
             episode_length=state.episode_length + 1,
             ep_succeeded=state.ep_succeeded,
+            sensor=state.sensor,
             key=state.key,
         )
 
@@ -407,11 +463,60 @@ class GraspLiftEnv(DirectRLEnv):
         }
 
         state = self._reset_where(state, done)
-        obs = self._observations(state)
+        obs, state, sensor_out = self._observations(state)
+        if sensor_out is not None:
+            # pad-major (2N, ...) -> (N, 2, ...), the reference sensor
+            # output contract per finger (gelsight_sensor.py:265-319)
+            n = self.cfg.num_envs
+            info["tactile_rgb"] = jnp.stack(
+                [sensor_out["tactile_rgb"][:n], sensor_out["tactile_rgb"][n:]], 1
+            )
+            if "marker_motion" in sensor_out:
+                mm = sensor_out["marker_motion"]
+                info["marker_motion"] = jnp.stack([mm[:n], mm[n:]], 1)
         return state, obs, reward, terminated, truncated, info
 
     # ------------------------------------------------------------------- obs
+    def _pad_sensor_depth(self, comp_mm: jax.Array) -> jax.Array:
+        """Per-pad camera depth (2N, res_h, res_w) in meters, pad-major.
+
+        The sensor camera rides the pad mount, so rigid squeeze/lift motion
+        cancels and the camera-frame depth of the (embedded dense) inner
+        face is exactly ``cam_to_contact − compression``: undeformed gel
+        sits at the far clipping plane (zero indentation), gel pressed in
+        by the cube moves toward the camera — the real GelSight geometry
+        (reference gelsight_sensor.py:581-598 height-map semantics)."""
+        n, _, gh, gw = comp_mm.shape
+        depth = self._cam_to_contact - comp_mm * 1e-3  # (N, 2, gh, gw) m
+        depth = jnp.concatenate([depth[:, 0], depth[:, 1]], axis=0)  # (2N, gh, gw)
+        res_w, res_h = self.cfg.camera_resolution
+        if (gh, gw) != (res_h, res_w):
+            depth = jax.image.resize(depth, (2 * n, res_h, res_w), method="linear")
+        return depth
+
+    def _cube_pose_in_pads(self, state: GraspLiftState):
+        """Cube pose in each pad's sensor frame, pad-major (2N,).
+
+        Image axes per pad: x_img = −sgn·ŷ, y_img = ẑ (right-handed with
+        the view direction −sgn·x̂). Yaw is the in-plane rotation of the
+        cube about the view axis; AbdState.q stores A by rows
+        (q[3+3i+j] = A[i,j])."""
+        q = state.cube.q[:, 0]  # (N, 12)
+        t = q[:, :3]
+        pos, yaw = [], []
+        for sgn in (-1.0, 1.0):
+            pos.append(
+                jnp.stack([-sgn * t[:, 1], t[:, 2] - state.lift], axis=-1) * 1e3
+            )
+            # body axis resting along x_img is b = −sgn·ŷ; w = A b = −sgn·A[:,1]
+            w_y = -sgn * q[:, 7]   # A[1,1]
+            w_z = -sgn * q[:, 10]  # A[2,1]
+            yaw.append(jnp.arctan2(w_z, -sgn * w_y))
+        return jnp.concatenate(pos, axis=0), jnp.concatenate(yaw, axis=0)
+
     def _observations(self, state: GraspLiftState):
+        """Returns (obs, state, sensor_out) — the sensor path advances the
+        FOTS trajectory state, so observation extraction threads state."""
         comp = self._pad_compression(state.gel.x, state.squeeze)  # (N, 2, gh, gw)
         grip = comp.mean(axis=(2, 3))
         proprio = jnp.concatenate(
@@ -426,7 +531,38 @@ class GraspLiftEnv(DirectRLEnv):
             axis=-1,
         )  # 12-dim
         if self.cfg.obs_mode == "privileged":
-            return {"proprio_obs": proprio}
-        # depth: per-pad compression images as channels (N, gh, gw, 2)
-        vision = jnp.moveaxis(comp, 1, -1)
-        return {"proprio_obs": proprio, "vision_obs": vision}
+            return {"proprio_obs": proprio}, state, None
+        if self.cfg.obs_mode == "depth":
+            # cheap mode: per-pad compression images as channels (N, gh, gw, 2)
+            vision = jnp.moveaxis(comp, 1, -1)
+            return {"proprio_obs": proprio, "vision_obs": vision}, state, None
+
+        # ---- tactile: the full GelSight stack on both pads
+        n = self.cfg.num_envs
+        depth = self._pad_sensor_depth(comp)
+        obj_pos_mm, obj_yaw = self._cube_pose_in_pads(state)
+        sensor_state, sensor_out = self.sensor.update(
+            state.sensor, depth, obj_yaw=obj_yaw, obj_pos_mm=obj_pos_mm
+        )
+        state = dataclasses.replace(state, sensor=sensor_state)
+
+        vh, vw, _ = self.cfg.vision_obs_shape
+        rgb = sensor_out["tactile_rgb"]  # (2N, th, tw, 3)
+        if rgb.shape[1:3] != (vh, vw):
+            rgb = jax.image.resize(rgb, (2 * n, vh, vw, 3), method="linear")
+        if "marker_motion" in sensor_out:
+            # flagship-env composite: multiply marker dots into the RGB
+            mcfg = self.sensor.marker_cfg
+            markers = sensor_out["marker_motion"][:, 1]  # (2N, M, 2)
+            sx, sy = vw / mcfg.tactile_img_width, vh / mcfg.tactile_img_height
+            dot_cfg = dataclasses.replace(
+                mcfg, marker_dot_radius_px=max(mcfg.marker_dot_radius_px * sx, 0.45)
+            )
+            dots = fots.draw_marker_image(
+                dot_cfg, markers * jnp.array([sx, sy]), hw=(vh, vw)
+            )
+            rgb = rgb * dots[..., None]
+        # two pads channel-stacked: (N, vh, vw, 6) — the factory-env
+        # two-finger layout (reference exposes two 32x32 tactile images)
+        vision = jnp.concatenate([rgb[:n], rgb[n:]], axis=-1)
+        return {"proprio_obs": proprio, "vision_obs": vision}, state, sensor_out

@@ -275,6 +275,35 @@ class AbdModel:
             x[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
         )
 
+    # ------------------------------------------------- broad-phase accounting
+    def broad_phase_overflow(self, x: jax.Array) -> dict[str, jax.Array]:
+        """Within-reach candidates dropped past the top-K sets for one env
+        (x = world_points(q), (Vt, 3)). See SoftBodyModel.broad_phase_overflow
+        for the semantics; families here are body-body VT and EE."""
+        c = self.cfg
+        out: dict[str, jax.Array] = {}
+        if c.contact_k > 0:
+            cent = x[self.tris].mean(-2)
+            d2 = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+            d2 = jnp.where(self._same_body, jnp.inf, d2)
+            cut = 3.0 * c.d_hat + self._tri_radius_max
+            within = (d2 < cut * cut).sum(-1)
+            out["vt_body"] = jnp.maximum(within - c.contact_k, 0).sum()
+        if c.ee_contact_k > 0 and c.contact_k > 0 and self.num_bodies >= 2:
+            k = min(c.ee_contact_k, self.edges.shape[0])
+            mid = x[self.edges].mean(-2)
+            d2 = ((mid[:, None, :] - mid[None]) ** 2).sum(-1)
+            mask = self.edge_body[:, None] >= self.edge_body[None, :]
+            d2 = jnp.where(mask, jnp.inf, d2)
+            cut = (
+                3.0 * c.d_hat
+                + self._edge_halflen[:, None]
+                + self._edge_halflen[None, :]
+            )
+            within = (d2 < cut * cut).sum(-1)
+            out["ee"] = jnp.maximum(within - k, 0).sum()
+        return out
+
     def _pair_closest(self, x: jax.Array, cand: jax.Array):
         """(distances (Vt, K), closest points (Vt, K, 3)) for candidates."""
         tri = x[self.tris[cand]]

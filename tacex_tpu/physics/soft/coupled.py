@@ -134,6 +134,33 @@ class CoupledModel:
         validB = (-negB) < cutB * cutB
         return jax.lax.stop_gradient(candB), jax.lax.stop_gradient(validB)
 
+    # ------------------------------------------------- broad-phase accounting
+    def broad_phase_overflow(self, x: jax.Array, q: jax.Array) -> dict[str, jax.Array]:
+        """Within-reach candidates dropped past the top-K sets, for one env
+        (x: (V, 3) FEM vertices, q: (B, 12)). Includes both cross families
+        plus the member models' own families (abd keys prefixed). See
+        SoftBodyModel.broad_phase_overflow for semantics."""
+        c = self.fem.cfg
+        k = self.cross_k
+        xs = x[self.fem.surface_verts]
+        y = self.abd.world_points(q)
+        out: dict[str, jax.Array] = {}
+        centA = y[self.abd.tris].mean(-2)
+        d2A = ((xs[:, None, :] - centA[None]) ** 2).sum(-1)
+        cutA = 3.0 * c.d_hat + self.abd._tri_radius_max
+        withinA = (d2A < cutA * cutA).sum(-1)
+        out["vt_cross_a"] = jnp.maximum(withinA - min(k, centA.shape[0]), 0).sum()
+        centB = x[self.fem.surface_tris].mean(-2)
+        d2B = ((y[:, None, :] - centB[None]) ** 2).sum(-1)
+        cutB = 3.0 * c.d_hat + self.fem._tri_radius_max
+        withinB = (d2B < cutB * cutB).sum(-1)
+        out["vt_cross_b"] = jnp.maximum(withinB - min(k, centB.shape[0]), 0).sum()
+        out.update(self.fem.broad_phase_overflow(x))
+        out.update(
+            {f"abd_{key}": v for key, v in self.abd.broad_phase_overflow(y).items()}
+        )
+        return out
+
     # --------------------------------------------------------------- energies
     def _cross_distances(self, x, q, candA, candB):
         """Vertex-triangle distances of both families at (x, q)."""

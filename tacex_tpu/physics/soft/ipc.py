@@ -455,6 +455,10 @@ class SoftBodyModel:
         if static_tris is not None and len(static_tris) > 0:
             self.static_tris = jnp.asarray(static_tris, jnp.float32)
             self.static_cent = self.static_tris.mean(axis=1)
+            st_np = np.asarray(static_tris, np.float64)
+            self._static_radius_max = float(
+                np.linalg.norm(st_np - st_np.mean(1, keepdims=True), axis=-1).max()
+            )
         else:
             self.static_tris = None
             self.static_cent = None
@@ -490,6 +494,56 @@ class SoftBodyModel:
         cut = 3.0 * self.cfg.d_hat + self._tri_radius_max
         valid = (-neg) < cut * cut
         return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
+
+    # ------------------------------------------------- broad-phase accounting
+    def broad_phase_overflow(self, x: jax.Array) -> dict[str, jax.Array]:
+        """Count candidates WITHIN barrier reach that fell outside the
+        fixed-capacity top-K sets, per pair family, for one env (int32
+        scalars; vmap over the env axis for batches).
+
+        libuipc's linear-BVH broad phase never misses a pair (reference
+        source/tacex_uipc/tacex_uipc/sim/uipc_sim.py:121
+        ``collision_detection_method="linear_bvh"``); this rebuild's
+        static-shape K-nearest candidate sets silently drop pairs beyond
+        K. Because top-K keeps the NEAREST candidates, the dropped count
+        per row is exactly ``max(#within_reach − K, 0)`` — any nonzero
+        value means a pair inside the same reach cut the narrow phase
+        uses (3·d_hat + support radius) got NO barrier this step. Raise
+        ``self_contact_k`` / ``static_contact_k`` / ``ee_contact_k``
+        until the counters stay zero at the scene's density.
+        """
+        c = self.cfg
+        out: dict[str, jax.Array] = {}
+        if c.self_contact_k > 0:
+            xs = x[self.surface_verts]
+            cent = x[self.surface_tris].mean(-2)
+            d2 = ((xs[:, None, :] - cent[None]) ** 2).sum(-1)
+            d2 = jnp.where(self._vt_exclude, jnp.inf, d2)
+            cut = 3.0 * c.d_hat + self._tri_radius_max
+            within = (d2 < cut * cut).sum(-1)
+            out["vt_self"] = jnp.maximum(within - c.self_contact_k, 0).sum()
+        if self.static_tris is not None:
+            xs = x[self.surface_verts]
+            k = min(c.static_contact_k, self.static_cent.shape[0])
+            d2 = ((xs[:, None, :] - self.static_cent[None]) ** 2).sum(-1)
+            cut = 3.0 * c.d_hat + self._static_radius_max
+            within = (d2 < cut * cut).sum(-1)
+            out["vt_static"] = jnp.maximum(within - k, 0).sum()
+        if self.edges is not None:
+            k = min(c.ee_contact_k, self.edges.shape[0])
+            mid = x[self.edges].mean(-2)
+            d2 = ((mid[:, None, :] - mid[None]) ** 2).sum(-1)
+            E = self.edges.shape[0]
+            dedup = jnp.arange(E)[:, None] >= jnp.arange(E)[None, :]
+            d2 = jnp.where(self._ee_exclude | dedup, jnp.inf, d2)
+            cut = (
+                3.0 * c.d_hat
+                + self._edge_halflen[:, None]
+                + self._edge_halflen[None, :]
+            )
+            within = (d2 < cut * cut).sum(-1)
+            out["ee"] = jnp.maximum(within - k, 0).sum()
+        return out
 
     # ------------------------------------------------------------- edge-edge
     def _select_ee_candidates(self, x: jax.Array):

@@ -49,6 +49,7 @@ PPO_AGENT_CFGS: dict[str, dict] = {
     # coupled-world grasp (no reference counterpart): short horizon, state
     # policy — the state split's hyperparameters fit
     "TacEx-Grasp-Lift-Uipc-v0": _STATE_PPO,
+    "TacEx-Grasp-Lift-Uipc-Depth-v0": _VISION_PPO,
     "TacEx-Grasp-Lift-Uipc-Tactile-v0": _VISION_PPO,
 }
 
@@ -56,6 +57,15 @@ PPO_AGENT_CFGS: dict[str, dict] = {
 SAC_AGENT_CFGS: dict[str, dict] = {
     "TacEx-Ball-Rolling-Privileged-v0": dict(batch_size=256, actor_lr=1e-4, critic_lr=1e-4),
     "TacEx-Pole-Balancing-Base-v0": dict(batch_size=256),
+    # vision task (reference skrl SAC variants, train.py --algorithm SAC):
+    # dict obs flatten into the replay buffer — the 24x32x3 tactile image
+    # makes each transition ~18 KB, so the buffer is sized to ~0.9 GB HBM;
+    # smaller batches + higher critic lr keep the flattened-pixel critic
+    # moving (the reference's SAC yaml pairs lr 5e-4 with batch 256)
+    "TacEx-Ball-Rolling-Taxim-Fots-v0": dict(
+        batch_size=256, buffer_size=20_000, actor_lr=3e-4, critic_lr=5e-4,
+        rollout_steps=4, grad_steps=2,
+    ),
 }
 
 

@@ -228,7 +228,10 @@ class PPO:
         total = c.rollouts * n
         flat = jax.tree_util.tree_map(lambda x: x.reshape((total,) + x.shape[2:]), (obs, action, logp, value, adv, ret_scaled))
 
-        mb_size = total // c.mini_batches
+        # tiny smoke runs (few envs x short rollouts) can undercut the tuned
+        # minibatch count — clamp so every minibatch has at least one sample
+        n_mb = min(c.mini_batches, total)
+        mb_size = total // n_mb
 
         def epoch_body(carry, _):
             params, opt_state, lr, key = carry
@@ -248,10 +251,10 @@ class PPO:
                 return (params, opt_state, lr, kl_sum + kl), loss
 
             (params, opt_state, lr, kl_sum), losses = jax.lax.scan(
-                mb_body, (params, opt_state, lr, 0.0), jnp.arange(c.mini_batches)
+                mb_body, (params, opt_state, lr, 0.0), jnp.arange(n_mb)
             )
             # KL-adaptive LR (skrl KLAdaptiveLR)
-            mean_kl = kl_sum / c.mini_batches
+            mean_kl = kl_sum / n_mb
             lr = jnp.where(mean_kl > c.kl_threshold * 2.0, jnp.maximum(lr / 1.5, c.lr_min), lr)
             lr = jnp.where(mean_kl < c.kl_threshold * 0.5, jnp.minimum(lr * 1.5, c.lr_max), lr)
             return (params, opt_state, lr, key), losses.mean()

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any
 
 import numpy as np
@@ -84,6 +85,11 @@ class UipcSimCfg:
         # (reference uipc_sim.py:204-208). 0 falls back to split solves
         # (ABD bodies then only meet FEM through analytic scene SDFs).
         coupling_k: int = 4
+        # broad-phase saturation policy: the fixed-capacity candidate sets
+        # drop pairs past K; check_health() counts within-reach pairs that
+        # were dropped (libuipc's BVH never misses one) and WARNS on any
+        # nonzero count — set True to raise instead.
+        overflow_errors: bool = False
 
     newton: "UipcSimCfg.Newton" = None
     linear_system: "UipcSimCfg.LinearSystem" = None
@@ -159,6 +165,7 @@ class UipcSim:
         self._abd_objs: list[Any] = []
         self._coupled = None
         self._scan_fn = None
+        self._overflow_fns = None
         self._scan_sep_objs: list[Any] = []
         self._frames: dict[int, list[SoftBodyState]] = {}
         self._frame_counter = 0
@@ -204,6 +211,7 @@ class UipcSim:
         self._union_state = None
         self._coupled = None
         self._scan_fn = None
+        self._overflow_fns = None
         fem_objs = [
             o for o in self.objects if not (o.is_affine_body or o.is_shell)
         ]
@@ -708,11 +716,79 @@ class UipcSim:
             self._abd_state, scene, aim, self._abd_strength
         )
 
-    def check_health(self) -> None:
+    def broad_phase_overflow(self) -> dict[str, np.ndarray]:
+        """Per-family counts of within-reach contact candidates the
+        fixed-capacity top-K broad phase DROPPED this frame, per env.
+
+        libuipc's linear-BVH broad phase is complete (reference
+        uipc_sim.py:121); the rebuild's K-nearest candidate sets are not —
+        these counters make the difference observable. Keys: ``vt_self``,
+        ``vt_static``, ``ee`` (nodal union / per object prefixed
+        ``obj{i}_``), ``abd_vt_body``/``abd_ee``, ``vt_cross_a``/
+        ``vt_cross_b`` (coupled world). Any nonzero count means a pair
+        within narrow-phase reach received no barrier — raise the matching
+        *_k knob."""
+        if self._overflow_fns is None:
+            fns = []
+            if self._coupled is not None:
+                fns.append(
+                    (
+                        "",
+                        jax.jit(jax.vmap(self._coupled.broad_phase_overflow)),
+                        lambda: (self._union_state.x, self._abd_state.q),
+                    )
+                )
+            else:
+                if self._union_model is not None:
+                    fns.append(
+                        (
+                            "",
+                            jax.jit(jax.vmap(self._union_model.broad_phase_overflow)),
+                            lambda: (self._union_state.x,),
+                        )
+                    )
+                if self._abd_model is not None:
+                    m = self._abd_model
+
+                    def _abd_counts(q, _m=m):
+                        return _m.broad_phase_overflow(_m.world_points(q))
+
+                    fns.append(
+                        (
+                            "abd_",
+                            jax.jit(jax.vmap(_abd_counts)),
+                            lambda: (self._abd_state.q,),
+                        )
+                    )
+                for i, obj in enumerate(self.objects):
+                    if (
+                        obj.model is not None
+                        and obj._union_range is None
+                        and hasattr(obj.model, "broad_phase_overflow")
+                    ):
+                        fns.append(
+                            (
+                                f"obj{i}_",
+                                jax.jit(jax.vmap(obj.model.broad_phase_overflow)),
+                                lambda o=obj: (o.state.x,),
+                            )
+                        )
+            self._overflow_fns = fns
+        report: dict[str, np.ndarray] = {}
+        for prefix, fn, args in self._overflow_fns:
+            for k, v in fn(*args()).items():
+                report[prefix + k] = np.asarray(v)
+        return report
+
+    def check_health(self) -> dict[str, np.ndarray]:
         """Failure detection: raise with the offending env indices if any
-        soft-body state went non-finite (solver divergence). The reference
-        has no equivalent — exceptions propagate from CUDA asserts
-        (SURVEY §5 'Failure detection: None')."""
+        soft-body state went non-finite (solver divergence), and account
+        for broad-phase saturation (returned; warn — or raise when
+        cfg.contact.overflow_errors — on any dropped within-reach pair).
+        The reference has no divergence equivalent — exceptions propagate
+        from CUDA asserts (SURVEY §5 'Failure detection: None'); the
+        overflow counters stand in for libuipc's complete BVH broad phase
+        (uipc_sim.py:121)."""
         for i, obj in enumerate(self.objects):
             if obj.is_affine_body:
                 finite = np.asarray(
@@ -727,6 +803,22 @@ class UipcSim:
                     f"at frame {self._frame_counter}; last good snapshot: "
                     f"{max(self._frames) if self._frames else 'none'}"
                 )
+        overflow = self.broad_phase_overflow()
+        saturated = {k: v for k, v in overflow.items() if v.any()}
+        if saturated:
+            msg = (
+                f"broad-phase overflow at frame {self._frame_counter}: "
+                + ", ".join(
+                    f"{k}: {v.sum()} dropped pairs (envs {np.where(v > 0)[0].tolist()})"
+                    for k, v in saturated.items()
+                )
+                + " — pairs within barrier reach got no barrier; raise the "
+                "matching contact *_k capacity"
+            )
+            if self.cfg.contact.overflow_errors:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return overflow
 
     # ------------------------------------------------------------- rendering
     def update_render_meshes(self) -> dict[int, jax.Array]:

@@ -113,7 +113,7 @@ class TestGraspLift:
         deformation — the cube's square footprint indents the face center
         clearly more than the (Poisson-bulged) face corners."""
         env = envs.make(
-            "TacEx-Grasp-Lift-Uipc-Tactile-v0", num_envs=1, squeeze_rate=4e-3,
+            "TacEx-Grasp-Lift-Uipc-Depth-v0", num_envs=1, squeeze_rate=4e-3,
         )
         st = env.init_state(jax.random.PRNGKey(0))
         st, obs = env.reset_all(st)

@@ -34,6 +34,33 @@ class TestCLIs:
         assert '"iter": 1' in r.stdout
         assert "done:" in r.stdout
 
+    def test_train_observability_artifacts(self, tmp_path):
+        """Training writes metrics JSONL + periodic png dashboard + tactile
+        frame strip under the run dir (reference DirectLiveVisualizer role,
+        direct_live_visualizer.py:20-206, rendered headless)."""
+        import json
+
+        viz = tmp_path / "viz"
+        r = _run(
+            [
+                "scripts/train.py",
+                "--task", "TacEx-Ball-Rolling-Taxim-Fots-v0",
+                "--num_envs", "4",
+                "--iterations", "2",
+                "--rollouts", "2",
+                "--viz_dir", str(viz),
+                "--viz_interval", "1",
+            ],
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = (viz / "metrics.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[-1])
+        assert rec["iter"] == 1 and "policy_loss" in rec or "loss" in str(rec)
+        assert (viz / "metrics.png").exists()
+        assert (viz / "tactile_obs_strip.png").exists()
+
     def test_list_envs(self):
         r = _run(["scripts/list_envs.py"], timeout=180)
         assert r.returncode == 0, r.stderr[-2000:]
