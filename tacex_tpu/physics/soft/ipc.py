@@ -328,6 +328,18 @@ class IpcSolverCfg:
     # same scheme as AbdSolverCfg.ee_contact_k, over the union surface
     # edges (self + object-object, adjacency-excluded, i<j dedup).
     ee_contact_k: int = 0
+    # KINEMATIC-COLLIDER CCD fallback: number of equal substeps per step().
+    # The analytic-scene colliders move BETWEEN steps (their poses are
+    # inputs, not unknowns), so no line-search crossing test can see a
+    # collider that jumps past a thin feature in one dt — true CCD over the
+    # collider trajectory (libuipc ccd_tol, reference uipc_sim.py:63-66)
+    # has no equivalent here. Measured envelope (docs/ccd_envelope.md):
+    # a collider tunnels through a gel slab once its per-step displacement
+    # exceeds ~(slab thickness + d_hat). With k substeps the scene poses
+    # are linearly interpolated prev->current (quaternions nlerp, valid for
+    # the small per-substep rotations this exists for) and the solver runs
+    # k solves at dt/k — the per-substep displacement shrinks k-fold.
+    ccd_substeps: int = 1
 
 
 @jax.tree_util.register_dataclass
@@ -372,6 +384,52 @@ class RigidSdfScene:
         return sdf_ops.scene_sdf(
             p, self.spheres, self.boxes, self.capsules, self.planes, self.threads
         )
+
+
+def scene_motion(prev: RigidSdfScene, curr: RigidSdfScene) -> jax.Array:
+    """(N,) upper bound on how far any scene collider SURFACE point moved
+    between two frames — the quantity the kinematic-collider CCD envelope is
+    written in (docs/ccd_envelope.md): a collider can tunnel through a thin
+    soft feature once its per-(sub)step motion exceeds the feature thickness
+    + d_hat, because collider poses are step inputs the line-search crossing
+    tests never sweep. check_health() compares this against
+    cfg.newton.ccd_motion_limit per substep.
+
+    Per primitive family: spheres |dc|; boxes |dc| + |dq|·|half-diag|
+    (small-angle lever-arm bound); capsules max(|da|, |db|); planes |d off|
+    + |dn|·1 m lever; threads |d base|.
+    """
+
+    def mag(a, b, sl):
+        return jnp.sqrt(((b[..., sl] - a[..., sl]) ** 2).sum(-1) + 1e-30)
+
+    moves = [
+        jnp.where(curr.spheres[..., 3] > 0, mag(prev.spheres, curr.spheres, slice(0, 3)), 0.0),
+        jnp.where(
+            curr.boxes[..., 7] > 0,
+            mag(prev.boxes, curr.boxes, slice(0, 3))
+            + mag(prev.boxes, curr.boxes, slice(3, 7))
+            * jnp.sqrt((curr.boxes[..., 7:10] ** 2).sum(-1) + 1e-30),
+            0.0,
+        ),
+        jnp.where(
+            curr.capsules[..., 7] > 0,
+            jnp.maximum(
+                mag(prev.capsules, curr.capsules, slice(0, 3)),
+                mag(prev.capsules, curr.capsules, slice(3, 6)),
+            ),
+            0.0,
+        ),
+        jnp.where(
+            (curr.planes[..., :3] ** 2).sum(-1) > 0.5,
+            jnp.abs(curr.planes[..., 3] - prev.planes[..., 3])
+            + mag(prev.planes, curr.planes, slice(0, 3)),
+            0.0,
+        ),
+    ]
+    if curr.threads is not None:
+        moves.append(mag(prev.threads, curr.threads, slice(0, 3)))
+    return jnp.stack([m.max(-1) for m in moves], -1).max(-1)
 
 
 class SoftBodyModel:
@@ -611,10 +669,12 @@ class SoftBodyModel:
 
     def _energy(
         self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None,
-        static_cand=None, ee_cand=None,
+        static_cand=None, ee_cand=None, dt=None,
     ):
         c = self.cfg
-        inertia = (0.5 / c.dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
+        if dt is None:
+            dt = c.dt
+        inertia = (0.5 / dt**2) * jnp.sum(self.masses[:, None] * (x - x_tilde) ** 2)
         elastic = stable_neo_hookean_energy(x, self.tets, self.dm_inv, self.rest_vol, self.mu, self.lam)
         if self.shell is not None:
             from .codim import bending_energy, membrane_energy
@@ -646,7 +706,7 @@ class SoftBodyModel:
             # (sqrt(s + tiny) is NaN under double differentiation there —
             # the CG Hessian-vector products hit it on resting contacts).
             ut2 = jnp.sum(du_t**2, axis=-1)
-            eps = c.eps_velocity * c.dt
+            eps = c.eps_velocity * dt
             f0 = jnp.where(
                 ut2 < eps * eps,
                 ut2 / (2 * eps) + eps / 2,
@@ -656,10 +716,12 @@ class SoftBodyModel:
         return inertia + elastic + contact + attach + friction
 
     # ------------------------------------------------------------- single env
-    def _step_single(self, x, v, scene, aim_pos):
+    def _step_single(self, x, v, scene, aim_pos, dt=None):
         c = self.cfg
+        if dt is None:
+            dt = c.dt
         g = jnp.asarray(c.gravity, jnp.float32)
-        x_tilde = x + c.dt * v + c.dt * c.dt * g
+        x_tilde = x + dt * v + dt * dt * g
 
         xs0 = x[self.surface_verts]
         sdf_fn = scene.sdf
@@ -710,7 +772,7 @@ class SoftBodyModel:
         def make_energy(friction_basis):
             return lambda xx: self._energy(
                 xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand,
-                static_cand, ee_cand,
+                static_cand, ee_cand, dt,
             )
 
         # Feasibility floor: strict penetration-free (d > 0) when the step
@@ -789,7 +851,7 @@ class SoftBodyModel:
 
             hvp = lambda p: jax.jvp(jax.grad(energy), (x_k,), (p,))[1]
             # matrix-free CG with Jacobi-ish scaling by lumped mass
-            precond = 1.0 / (self.masses[:, None] / c.dt**2)
+            precond = 1.0 / (self.masses[:, None] / dt**2)
 
             def cg_body(_, cg):
                 p_dir, r, z, xsol = cg
@@ -841,14 +903,48 @@ class SoftBodyModel:
         return x_new, v_new
 
     # ----------------------------------------------------------------- public
-    def step(self, state: SoftBodyState, scene: RigidSdfScene, aim_pos: jax.Array | None = None):
-        """Advance all envs one dt. ``aim_pos``: (N, Va, 3) attachment targets."""
+    def step(
+        self,
+        state: SoftBodyState,
+        scene: RigidSdfScene,
+        aim_pos: jax.Array | None = None,
+        scene_prev: RigidSdfScene | None = None,
+    ):
+        """Advance all envs one dt. ``aim_pos``: (N, Va, 3) attachment targets.
+
+        With ``cfg.ccd_substeps = k > 1`` the step runs k solves at dt/k
+        against scene poses linearly interpolated ``scene_prev`` -> ``scene``
+        (the kinematic-collider CCD fallback; see IpcSolverCfg.ccd_substeps).
+        ``scene_prev`` defaults to ``scene`` (colliders held at their new
+        pose for every substep — still shrinks the solver's own per-substep
+        motion, but the collider jump stays unresolved; pass the previous
+        frame's scene to actually sweep it).
+        """
         n = state.x.shape[0]
         if aim_pos is None:
             aim_pos = jnp.zeros((n, max(int(self.attachment_verts.shape[0]), 1), 3))
 
-        x, v = jax.vmap(self._step_single)(state.x, state.v, scene, aim_pos)
-        return SoftBodyState(x=x, v=v)
+        k = int(self.cfg.ccd_substeps)
+        if k <= 1:
+            x, v = jax.vmap(self._step_single)(state.x, state.v, scene, aim_pos)
+            return SoftBodyState(x=x, v=v)
+
+        if scene_prev is None:
+            scene_prev = scene
+        dt_sub = self.cfg.dt / k
+
+        def sub(st, tau):
+            sc = jax.tree_util.tree_map(
+                lambda a, b: a + tau * (b - a), scene_prev, scene
+            )
+            x, v = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0, None))(
+                st.x, st.v, sc, aim_pos, dt_sub
+            )
+            return SoftBodyState(x=x, v=v), None
+
+        taus = jnp.arange(1, k + 1, dtype=jnp.float32) / k
+        st, _ = jax.lax.scan(sub, state, taus)
+        return st
 
     def surface_positions(self, state: SoftBodyState) -> jax.Array:
         return state.x[:, self.surface_verts]

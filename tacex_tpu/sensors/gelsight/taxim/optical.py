@@ -214,6 +214,13 @@ def shade(
         # Floor on this chip class: the dense 76.8k-index row gather,
         # ~190 us/img bf16. Exact whenever the contact region fits the
         # capacity; overflow pixels keep their halo shade.
+        #   * Round 4 closed the remaining proposal (two-level routing over
+        #     the 125 magnitude-bin subtables): measured frame statistics
+        #     kill it — the halo spreads the magnitude bin over 26-36 bins
+        #     per 1024-px block (~2,000-2,500 masked passes/img), >=420
+        #     us/img at the measured 209 ns/block-pass kernel rate, 2.2x the
+        #     dense floor. Formal re-baseline decision + full log:
+        #     BASELINE.md "Re-baseline decision (round 4)".
         from ....ops.pallas_lut import dir_row_shade, dir_row_shade_reference
 
         h, w = grad_mag.shape[-2:]

@@ -249,7 +249,7 @@ class UipcObject:
         self.state = SoftBodyState(x=u.x[:, lo:hi], v=u.v[:, lo:hi])
 
     # ------------------------------------------------------------------- step
-    def _advance(self, scene: RigidSdfScene) -> None:
+    def _advance(self, scene: RigidSdfScene, scene_prev: RigidSdfScene | None = None) -> None:
         if self._aim_provider is not None:
             aim = self._aim_provider()
         elif self._attachment_verts is not None and len(self._attachment_verts) > 0:
@@ -262,7 +262,12 @@ class UipcObject:
             )
         else:
             aim = None
-        self.state = self._step(self.state, scene, aim)
+        if not self.is_shell and scene_prev is not None:
+            # FEM solver sweeps kinematic colliders prev->current when
+            # ccd_substeps > 1 (shell standalone path keeps the cheap call)
+            self.state = self._step(self.state, scene, aim, scene_prev)
+        else:
+            self.state = self._step(self.state, scene, aim)
 
     # ------------------------------------------------------------------ views
     def surface_positions(self) -> jax.Array:

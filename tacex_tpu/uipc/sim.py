@@ -45,6 +45,18 @@ class UipcSimCfg:
         velocity_tol: float = 0.05
         ccd_tol: float = 1.0
         transrate_tol: float = 0.1
+        # kinematic-collider CCD fallback (libuipc's ccd_tol sweeps the whole
+        # trajectory; here analytic colliders move BETWEEN steps and can jump
+        # past thin features — measured envelope in docs/ccd_envelope.md).
+        # k > 1 runs each nodal solve as k substeps at dt/k against scene
+        # poses lerped previous->current frame (IpcSolverCfg.ccd_substeps).
+        ccd_substeps: int = 1
+        # warn (or raise with strict_ccd) when any collider moved more than
+        # this per SUBSTEP between two step() calls — set it to the thinnest
+        # soft feature's thickness + d_hat (the measured tunneling threshold
+        # is thickness + 2*d_hat + collider width). 0 disables the guard.
+        ccd_motion_limit: float = 0.0
+        strict_ccd: bool = False
 
     @configclass
     class LinearSystem:
@@ -140,6 +152,7 @@ class UipcSimCfg:
             eps_velocity=self.contact.eps_velocity,
             self_contact_k=(self.contact.self_contact_k if self.contact.enable else 0),
             ee_contact_k=(self.contact.ee_contact_k if self.contact.enable else 0),
+            ccd_substeps=self.newton.ccd_substeps,
         )
 
 
@@ -166,6 +179,8 @@ class UipcSim:
         self._coupled = None
         self._scan_fn = None
         self._overflow_fns = None
+        self._scene_prev: RigidSdfScene | None = None
+        self._ccd_motion_fn = None
         self._scan_sep_objs: list[Any] = []
         self._frames: dict[int, list[SoftBodyState]] = {}
         self._frame_counter = 0
@@ -212,6 +227,8 @@ class UipcSim:
         self._coupled = None
         self._scan_fn = None
         self._overflow_fns = None
+        self._scene_prev = None
+        self._ccd_motion_fn = None
         fem_objs = [
             o for o in self.objects if not (o.is_affine_body or o.is_shell)
         ]
@@ -517,6 +534,10 @@ class UipcSim:
                 [scene.planes, jnp.broadcast_to(jnp.asarray(plane), (n, 1, 4))], axis=1
             )
             scene = dataclasses.replace(scene, planes=planes)
+        # kinematic-collider CCD: previous frame's scene poses, for the
+        # substep sweep and the motion-envelope guard (docs/ccd_envelope.md)
+        scene_prev = self._scene_prev if self._scene_prev is not None else scene
+        self._ccd_motion_guard(scene_prev, scene)
         if self._coupled is not None:
             # ONE Newton solve over FEM + ABD (unified contact world)
             aim = self._union_aim()
@@ -532,7 +553,9 @@ class UipcSim:
                     obj._advance(scene)
         elif self._union_model is not None:
             aim = self._union_aim()
-            self._union_state = self._union_step_fn(self._union_state, scene, aim)
+            self._union_state = self._union_step_fn(
+                self._union_state, scene, aim, scene_prev
+            )
             for obj in self._union_objs:
                 obj._refresh_union_slice()
             # standalone shells (not part of the nodal union)
@@ -542,7 +565,8 @@ class UipcSim:
         else:
             for obj in self.objects:
                 if not obj.is_affine_body:
-                    obj._advance(scene)
+                    obj._advance(scene, scene_prev)
+        self._scene_prev = scene
         if self._abd_model is not None and self._coupled is None:
             self._advance_abd(scene)
         jax.block_until_ready(
@@ -715,6 +739,33 @@ class UipcSim:
         self._abd_state = self._abd_step_fn(
             self._abd_state, scene, aim, self._abd_strength
         )
+
+    def _ccd_motion_guard(self, scene_prev, scene) -> None:
+        """Warn/raise when a kinematic collider moved more than
+        cfg.newton.ccd_motion_limit per substep this frame — past that, it
+        can cross a thin soft feature unseen (the measured tunneling
+        envelope, docs/ccd_envelope.md; libuipc's trajectory CCD never
+        misses these, reference uipc_sim.py:63-66)."""
+        limit = self.cfg.newton.ccd_motion_limit
+        if limit <= 0 or scene_prev is scene:
+            return
+        from ..physics.soft.ipc import scene_motion
+
+        if self._ccd_motion_fn is None:
+            self._ccd_motion_fn = jax.jit(scene_motion)
+        per_sub = np.asarray(self._ccd_motion_fn(scene_prev, scene)) / max(
+            self.cfg.newton.ccd_substeps, 1
+        )
+        if (per_sub > limit).any():
+            msg = (
+                f"CCD envelope exceeded: collider moved {per_sub.max() * 1e3:.2f} mm "
+                f"per substep (> limit {limit * 1e3:.2f} mm) in "
+                f"{int((per_sub > limit).sum())} env(s) — raise "
+                "newton.ccd_substeps or shrink dt (docs/ccd_envelope.md)"
+            )
+            if self.cfg.newton.strict_ccd:
+                raise RuntimeError(msg)
+            warnings.warn(msg, stacklevel=3)
 
     def broad_phase_overflow(self) -> dict[str, np.ndarray]:
         """Per-family counts of within-reach contact candidates the
