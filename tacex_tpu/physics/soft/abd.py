@@ -75,14 +75,17 @@ class AbdSolverCfg:
     # the parallel-edge mollifier (ipc.edge_edge_mollifier).
     ee_contact_k: int = 4
     hessian_reg: float = 1e-6  # Tikhonov floor for the dense Newton solve
-    # "dense": jax.hessian + jnp.linalg.solve — best at sample-scene scale
-    # (few bodies, 1 env; the (12B)^2 solve is one MXU tile). "cg":
+    # "dense": jax.hessian + jnp.linalg.solve — the measured winner at every
+    # scale tried (round-4 sweep, 10-body pile on v5e, BASELINE.md: dense
+    # 13.3 ms/step@1env, 93.5@8, 434@32, 913@64 vs CG 46/313/1204/2409 —
+    # CG's 32 sequential hvp evaluations lose to one batched (12B)^2
+    # LU at B<=~32 bodies, and BOTH paths vmap over envs with near-linear
+    # cost, so there is no separate "batched RL-scale path"). "cg":
     # matrix-free conjugate gradient on Hessian-vector products with a
     # per-body 12x12 block preconditioner (inertia + orthogonality +
-    # constraint, inverted once per step) — the dense Hessian's O((12B)^2)
-    # autodiff saturates the chip at N=1 (round-2 measurement: ~24 ms/env
-    # at N=8), so batched RL-scale ABD envs use CG, which scales in B and
-    # vmaps over envs like the FEM solver.
+    # constraint, inverted once per step) — kept for body counts where the
+    # O((12B)^2) Hessian autodiff would outgrow memory (hundreds of bodies),
+    # beyond any shipped scene.
     linear_solver: str = "dense"
     cg_iters: int = 32
     # assemble the Newton Hessian analytically (J^T G J structure, see

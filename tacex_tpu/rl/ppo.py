@@ -141,9 +141,12 @@ class PPO:
             mean, log_std, value = self.net.apply(ts.params, obs)
             action = mean + jnp.exp(log_std) * jax.random.normal(k_act, mean.shape)
             logp = gaussian_log_prob(mean, log_std, action)
-            env_state, next_obs, reward, term, trunc, _ = self.env.step(env_state, action)
+            env_state, next_obs, reward, term, trunc, info = self.env.step(env_state, action)
             done = (term | trunc).astype(jnp.float32)
-            out = (obs, action, logp, value, reward, done)
+            # surface the env's episode metrics (extras["log"], the reference
+            # convention, ball_rolling_taxim_fots.py:706-708) — scalars only
+            log = info.get("log", {}) if isinstance(info, dict) else {}
+            out = (obs, action, logp, value, reward, done, log)
             return (env_state, next_obs, key), out
 
         key, k0 = jax.random.split(ts.key)
@@ -215,7 +218,7 @@ class PPO:
         c = self.cfg
         n = self.env.cfg.num_envs
         ts, traj, last_value = self._rollout(ts)
-        obs, action, logp, value, reward, done = traj  # leaves: (T, N, ...)
+        obs, action, logp, value, reward, done, env_log = traj  # leaves: (T, N, ...)
 
         adv, returns = self._gae(ts, value, reward, done, last_value)
         if c.value_preprocessor:
@@ -270,6 +273,8 @@ class PPO:
             "episode_done_frac": done.mean(),
             "lr": lr,
             "value_pred_mean": value.mean(),
+            # per-env episode metrics averaged over the rollout window
+            **{k: v.mean() for k, v in env_log.items()},
         }
         ts = TrainState(
             params=params,
