@@ -438,13 +438,21 @@ class GraspLiftEnv(DirectRLEnv):
         act_rate = -c.w_action_rate * jnp.sum(
             jnp.square(action - prev_actions), axis=-1
         )
+        # success is a HELD state that keeps paying, not a termination: a
+        # one-shot terminal bonus makes hovering just below the threshold
+        # out-earn succeeding (the per-step holding rewards beat +w_success
+        # once, measured in the first round-4 training run — the policy
+        # plateaued at ~7 mm), so the episode runs on and the bonus accrues
+        # every step the cube is held above 0.9*lift_target. This also makes
+        # Metric/success_rate the fraction of time spent holding the lift —
+        # a direct, undiluted learning signal.
         r_success = c.w_success * success.astype(jnp.float32)
         reward = r_lift + r_grip + r_drop + act_rate + r_success
 
         state = dataclasses.replace(
             state, ep_succeeded=state.ep_succeeded | success
         )
-        terminated = dropped | success
+        terminated = dropped
         truncated = state.episode_length >= c.max_episode_length
         done = terminated | truncated
 

@@ -272,8 +272,52 @@ class AbdModel:
         valid = (-neg) < cut * cut
         return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
 
-    def _pair_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
-        tri = x[self.tris[cand]]  # (Vt, K, 3, 3)
+    # ------------------------------------------------- one-hot gather operators
+    def _gather_ops(self, cand, ee_cand):
+        """Per-step 0/1 gather matrices for the candidate fetches (same
+        rationale as CoupledModel._gather_ops: per-env dynamic gathers are
+        issue-bound on TPU and re-execute in every energy/hvp/feasibility
+        eval — and jax.hessian multiplies them by 12B tangents on the dense
+        path; a tiny one-hot matmul does the fetch on the MXU)."""
+        Vt = self.vert_body.shape[0]
+        opTri = opEE = opTB = None
+        if cand is not None:
+            ci = cand[0]
+            opTri = jax.nn.one_hot(
+                self.tris[ci].reshape(-1), Vt, dtype=jnp.float32
+            )
+            opTB = jax.nn.one_hot(
+                self.tri_body[ci].reshape(-1), self.num_bodies, dtype=jnp.float32
+            )
+        if ee_cand is not None:
+            opEE = jax.nn.one_hot(
+                self.edges[ee_cand[0]].reshape(-1), Vt, dtype=jnp.float32
+            )
+        return tuple(
+            None if o is None else jax.lax.stop_gradient(o)
+            for o in (opTri, opEE, opTB)
+        )
+
+    def _tri_rows(self, x, ci, ops):
+        """(Vt, K, 3, 3) candidate-triangle corners."""
+        if ops is None or ops[0] is None:
+            return x[self.tris[ci]]
+        return (ops[0] @ x).reshape(ci.shape + (3, 3))
+
+    def _ee_rows(self, x, cand, ops):
+        """(E, K, 2, 3) candidate-edge endpoints."""
+        if ops is None or ops[1] is None:
+            return x[self.edges[cand]]
+        return (ops[1] @ x).reshape(cand.shape + (2, 3))
+
+    def _body_rows(self, M, shape2, ops):
+        """(Vt, K, ...) per-candidate body rows of M (B, ...)."""
+        if ops is None or ops[2] is None:
+            return None  # caller falls back to M[tb]
+        return (ops[2] @ M.reshape(M.shape[0], -1)).reshape(shape2 + M.shape[1:])
+
+    def _pair_distances(self, x: jax.Array, cand: jax.Array, ops=None) -> jax.Array:
+        tri = self._tri_rows(x, cand, ops)  # (Vt, K, 3, 3)
         return _point_triangle_distance(
             x[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
         )
@@ -307,9 +351,9 @@ class AbdModel:
             out["ee"] = jnp.maximum(within - k, 0).sum()
         return out
 
-    def _pair_closest(self, x: jax.Array, cand: jax.Array):
+    def _pair_closest(self, x: jax.Array, cand: jax.Array, ops=None):
         """(distances (Vt, K), closest points (Vt, K, 3)) for candidates."""
-        tri = x[self.tris[cand]]
+        tri = self._tri_rows(x, cand, ops)
         qp = _point_triangle_closest(
             x[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
         )
@@ -332,19 +376,19 @@ class AbdModel:
         valid = (-neg) < cut * cut
         return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
 
-    def _ee_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+    def _ee_distances(self, x: jax.Array, cand: jax.Array, ops=None) -> jax.Array:
         pi = x[self.edges]  # (E, 2, 3)
-        pj = x[self.edges[cand]]  # (E, K, 2, 3)
+        pj = self._ee_rows(x, cand, ops)  # (E, K, 2, 3)
         return _edge_edge_distance(
             pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
         )
 
-    def _ee_barrier(self, x: jax.Array, ee_cand) -> jax.Array:
+    def _ee_barrier(self, x: jax.Array, ee_cand, ops=None) -> jax.Array:
         """Mollified edge-edge barrier sum (ipc.edge_edge_mollifier)."""
         cand, valid = ee_cand
         c = self.cfg
         pi = x[self.edges]
-        pj = x[self.edges[cand]]
+        pj = self._ee_rows(x, cand, ops)
         d = _edge_edge_distance(
             pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
         )
@@ -357,7 +401,7 @@ class AbdModel:
 
     def _energy(
         self, q, q_tilde, scene, aim_q, aim_strength, x_prev, friction_basis, cand,
-        pair_friction=None, ee_cand=None,
+        pair_friction=None, ee_cand=None, ops=None,
     ):
         c = self.cfg
         dq = q - q_tilde
@@ -367,11 +411,11 @@ class AbdModel:
         contact = self._barrier(scene.sdf(x))
         if cand is not None:
             ci, valid = cand
-            d_vt = self._pair_distances(x, ci)
+            d_vt = self._pair_distances(x, ci, ops)
             d_vt = jnp.where(valid, d_vt, 10.0 * c.d_hat)
             contact = contact + self._barrier(d_vt)
         if ee_cand is not None:
-            contact = contact + self._ee_barrier(x, ee_cand)
+            contact = contact + self._ee_barrier(x, ee_cand, ops)
         # soft transform / motor constraints: diagonal mass-scaled quadratic
         # with PER-DOF strengths (B, 12). A RotatingMotor constrains only the
         # rotational DOFs (a-rows) and leaves translation free — that is how
@@ -415,7 +459,11 @@ class AbdModel:
             A, t = q_to_affine(q)
             x = self.world_points(q)
             disp_v = x - x_prev  # (Vt, 3)
-            q_new = jnp.einsum("vkij,vkj->vki", A[tb], p_local) + t[tb]
+            A_tb = self._body_rows(A, tb.shape, ops)
+            t_tb = self._body_rows(t, tb.shape, ops)
+            if A_tb is None:
+                A_tb, t_tb = A[tb], t[tb]
+            q_new = jnp.einsum("vkij,vkj->vki", A_tb, p_local) + t_tb
             rel = disp_v[:, None, :] - (q_new - q_p0)
             rel_t = rel - jnp.sum(rel * n_p, -1, keepdims=True) * n_p
             s_p = jnp.sum(rel_t**2, -1)
@@ -609,6 +657,7 @@ class AbdModel:
             if (c.ee_contact_k > 0 and c.contact_k > 0 and self.num_bodies >= 2)
             else None
         )
+        ops = self._gather_ops(cand, ee_cand)
         A0, t0 = q_to_affine(q)  # step-start pose: friction anchors map here
         B = self.num_bodies
 
@@ -630,21 +679,28 @@ class AbdModel:
             pf = None
             if cand is not None:
                 ci, valid = cand
-                d_p, q_p = self._pair_closest(x_k, ci)
+                d_p, q_p = self._pair_closest(x_k, ci, ops)
                 lam_p = jnp.where(valid, barrier_force_mag(d_p, c.kappa_contact, dh), 0.0)
                 n_p = (x_k[:, None, :] - q_p) / jnp.maximum(d_p, 1e-9)[..., None]
                 A_k, t_k = q_to_affine(q_k)
                 A_k_inv = jnp.linalg.inv(A_k)
                 tb = self.tri_body[ci]  # (Vt, K)
-                p_local = jnp.einsum("vkij,vkj->vki", A_k_inv[tb], q_p - t_k[tb])
-                q_p0 = jnp.einsum("vkij,vkj->vki", A0[tb], p_local) + t0[tb]
+
+                def rows(M):
+                    r = self._body_rows(M, tb.shape, ops)
+                    return M[tb] if r is None else r
+
+                p_local = jnp.einsum(
+                    "vkij,vkj->vki", rows(A_k_inv), q_p - rows(t_k)
+                )
+                q_p0 = jnp.einsum("vkij,vkj->vki", rows(A0), p_local) + rows(t0)
                 pf = (lam_p, n_p, q_p0, p_local, tb, valid)
             return fb, pf
 
         def make_energy(friction_basis, pair_friction):
             return lambda qf: self._energy(
                 qf.reshape(B, 12), q_tilde, scene, aim_q, aim_strength, x0,
-                friction_basis, cand, pair_friction, ee_cand,
+                friction_basis, cand, pair_friction, ee_cand, ops,
             )
 
         # no-worsening floor when the step starts penetrated by a moved
@@ -653,7 +709,7 @@ class AbdModel:
         if ee_cand is not None:
             eci, eval_ = ee_cand
             ee_floor = jnp.minimum(
-                0.999 * jnp.where(eval_, self._ee_distances(x0, eci), 1.0).min(),
+                0.999 * jnp.where(eval_, self._ee_distances(x0, eci, ops), 1.0).min(),
                 1e-7,
             )
 
@@ -662,14 +718,14 @@ class AbdModel:
             ok = sdf_fn(x).min() > d_floor
             if cand is not None:
                 ci, valid = cand
-                d_vt = self._pair_distances(x, ci)
+                d_vt = self._pair_distances(x, ci, ops)
                 ok = ok & (jnp.where(valid, d_vt, 1.0).min() > 1e-7)
                 # reject trials whose vertices pierce a candidate triangle
                 # (unsigned distances cannot detect tunneling); both bodies
                 # move, so test in the triangle's co-moving frame
                 x_from = self.world_points(qf_from.reshape(B, 12))
-                tri = x[self.tris[ci]]
-                tri0 = x_from[self.tris[ci]]
+                tri = self._tri_rows(x, ci, ops)
+                tri0 = self._tri_rows(x_from, ci, ops)
                 crossed = _segment_crosses_moving_triangle(
                     x_from[:, None, :], x[:, None, :],
                     tri0[..., 0, :], tri0[..., 1, :], tri0[..., 2, :],
@@ -678,15 +734,15 @@ class AbdModel:
                 ok = ok & ~(crossed & valid).any()
             if ee_cand is not None:
                 eci2, evalid = ee_cand
-                d_ee = self._ee_distances(x, eci2)
+                d_ee = self._ee_distances(x, eci2, ops)
                 ok = ok & (jnp.where(evalid, d_ee, 1.0).min() > ee_floor)
                 # EE crossing CCD: unsigned distances cannot see an edge
                 # passing through another edge within one trial
                 x_from = self.world_points(qf_from.reshape(B, 12))
                 pa = x_from[self.edges]
-                pja = x_from[self.edges[eci2]]
+                pja = self._ee_rows(x_from, eci2, ops)
                 pb = x[self.edges]
-                pjb = x[self.edges[eci2]]
+                pjb = self._ee_rows(x, eci2, ops)
                 crossed = _edge_pair_crossed(
                     pa[:, None, 0, :], pa[:, None, 1, :],
                     pja[..., 0, :], pja[..., 1, :],

@@ -161,26 +161,74 @@ class CoupledModel:
         )
         return out
 
+    # ------------------------------------------------- one-hot gather operators
+    def _gather_ops(self, candA, candB):
+        """Per-step 0/1 gather matrices for the cross-family triangle
+        fetches.
+
+        TPU: a per-env dynamic-index gather is issue-bound (~ns/row,
+        BASELINE.md sensor log) and RE-EXECUTES inside every energy / hvp /
+        feasibility evaluation of the Newton solve (~400 per env-step,
+        scaling linearly with the env batch — the measured ~31 ms/env-step
+        wall, scripts/benchmarking/profile_coupled.py). The candidate
+        indices are step constants, so the same fetch is a small one-hot
+        matmul on the MXU, built once per step: opA (Vs*K*3, Va) rows
+        select ABD triangle corners, opB (Va*K*3, V) rows select FEM
+        surface-triangle corners, opT (Vs*K, B) selects per-candidate body
+        rows. All three are tiny (the tables have 8-216 rows)."""
+        idxA = self.abd.tris[candA].reshape(-1)
+        opA = jax.nn.one_hot(idxA, self.abd.vert_body.shape[0], dtype=jnp.float32)
+        idxB = self.fem.surface_tris[candB].reshape(-1)
+        opB = jax.nn.one_hot(idxB, self.fem.mesh.num_vertices, dtype=jnp.float32)
+        tbA = self.abd.tri_body[candA]
+        opT = jax.nn.one_hot(tbA.reshape(-1), self.abd.num_bodies, dtype=jnp.float32)
+        return (
+            jax.lax.stop_gradient(opA),
+            jax.lax.stop_gradient(opB),
+            jax.lax.stop_gradient(opT),
+        )
+
+    def _triA(self, y, candA, ops):
+        """(Vs, K, 3, 3) ABD triangle corners per FEM-vertex candidate."""
+        if ops is None:
+            return y[self.abd.tris[candA]]
+        shp = candA.shape + (3, 3)
+        return (ops[0] @ y).reshape(shp)
+
+    def _triB(self, x, candB, ops):
+        """(Va, K, 3, 3) FEM surface-triangle corners per ABD-vertex cand."""
+        if ops is None:
+            return x[self.fem.surface_tris[candB]]
+        shp = candB.shape + (3, 3)
+        return (ops[1] @ x).reshape(shp)
+
+    def _bodyrows(self, M, candA, ops):
+        """(Vs, K, ...) per-candidate body rows of M (B, ...)."""
+        if ops is None:
+            return M[self.abd.tri_body[candA]]
+        shp = candA.shape + M.shape[1:]
+        return (ops[2] @ M.reshape(M.shape[0], -1)).reshape(shp)
+
     # --------------------------------------------------------------- energies
-    def _cross_distances(self, x, q, candA, candB):
+    def _cross_distances(self, x, q, candA, candB, ops=None):
         """Vertex-triangle distances of both families at (x, q)."""
         xs = x[self.fem.surface_verts]
         y = self.abd.world_points(q)
-        triA = y[self.abd.tris[candA]]  # (Vs, K, 3, 3)
+        triA = self._triA(y, candA, ops)  # (Vs, K, 3, 3)
         dA = _point_triangle_distance(
             xs[:, None, :], triA[..., 0, :], triA[..., 1, :], triA[..., 2, :]
         )
-        triB = x[self.fem.surface_tris[candB]]  # (Va, K, 3, 3)
+        triB = self._triB(x, candB, ops)  # (Va, K, 3, 3)
         dB = _point_triangle_distance(
             y[:, None, :], triB[..., 0, :], triB[..., 1, :], triB[..., 2, :]
         )
         return dA, dB
 
-    def _cross_energy(self, x, q, cand, lag, x0, y0):
+    def _cross_energy(self, x, q, cand, lag, x0, y0, ops=None):
         """Barrier + lagged friction energy of both cross families."""
         c = self.fem.cfg
         candA, validA, candB, validB = cand
-        dA, dB = self._cross_distances(x, q, candA, candB)
+        dA, dB = self._cross_distances(x, q, candA, candB, ops)
         dA = jnp.where(validA, dA, 10.0 * c.d_hat)
         dB = jnp.where(validB, dB, 10.0 * c.d_hat)
         e = barrier_extended(dA, c.kappa, c.d_hat).sum()
@@ -203,22 +251,24 @@ class CoupledModel:
 
         # family A: fem vertex vs frozen ABD material point
         lamA, nA, pA_local, pA0, tbA = lagA
-        movedA = jnp.einsum("vkij,vkj->vki", A[tbA], pA_local) + t[tbA]
+        A_rows = self._bodyrows(A, candA, ops)
+        t_rows = self._bodyrows(t, candA, ops)
+        movedA = jnp.einsum("vkij,vkj->vki", A_rows, pA_local) + t_rows
         relA = (xs - x0[self.fem.surface_verts])[:, None, :] - (movedA - pA0)
         relA_t = relA - jnp.sum(relA * nA, -1, keepdims=True) * nA
         sA = jnp.sum(relA_t**2, -1)
         e = e + mu * jnp.sum(jnp.where(validA, lamA * mollify(sA), 0.0))
         # family B: abd vertex vs frozen FEM barycentric material point
         lamB, nB, wB, triB_ids = lagB
-        matB = jnp.einsum("vkc,vkcd->vkd", wB, x[triB_ids])  # (Va, K, 3)
-        matB0 = jnp.einsum("vkc,vkcd->vkd", wB, x0[triB_ids])
+        matB = jnp.einsum("vkc,vkcd->vkd", wB, self._triB(x, candB, ops))  # (Va, K, 3)
+        matB0 = jnp.einsum("vkc,vkcd->vkd", wB, self._triB(x0, candB, ops))
         relB = (y - y0)[:, None, :] - (matB - matB0)
         relB_t = relB - jnp.sum(relB * nB, -1, keepdims=True) * nB
         sB = jnp.sum(relB_t**2, -1)
         e = e + mu * jnp.sum(jnp.where(validB, lamB * mollify(sB), 0.0))
         return e
 
-    def _cross_lag(self, x_k, q_k, cand, q0):
+    def _cross_lag(self, x_k, q_k, cand, q0, ops=None):
         """Lagged friction quantities for both families at an iterate."""
         c = self.fem.cfg
         if c.friction_mu <= 0:
@@ -229,7 +279,7 @@ class CoupledModel:
         A_k, t_k = q_to_affine(q_k)
         A0, t0 = q_to_affine(q0)
         # family A
-        triA = y[self.abd.tris[candA]]
+        triA = self._triA(y, candA, ops)
         qpA = _point_triangle_closest(
             xs[:, None, :], triA[..., 0, :], triA[..., 1, :], triA[..., 2, :]
         )
@@ -238,11 +288,17 @@ class CoupledModel:
         nA = (xs[:, None, :] - qpA) / jnp.maximum(dA, 1e-9)[..., None]
         tbA = self.abd.tri_body[candA]  # (Vs, K)
         A_inv = jnp.linalg.inv(A_k)
-        pA_local = jnp.einsum("vkij,vkj->vki", A_inv[tbA], qpA - t_k[tbA])
-        pA0 = jnp.einsum("vkij,vkj->vki", A0[tbA], pA_local) + t0[tbA]
+        pA_local = jnp.einsum(
+            "vkij,vkj->vki",
+            self._bodyrows(A_inv, candA, ops),
+            qpA - self._bodyrows(t_k, candA, ops),
+        )
+        pA0 = jnp.einsum(
+            "vkij,vkj->vki", self._bodyrows(A0, candA, ops), pA_local
+        ) + self._bodyrows(t0, candA, ops)
         # family B
         triB_ids = self.fem.surface_tris[candB]  # (Va, K, 3)
-        triB = x_k[triB_ids]
+        triB = self._triB(x_k, candB, ops)
         qpB = _point_triangle_closest(
             y[:, None, :], triB[..., 0, :], triB[..., 1, :], triB[..., 2, :]
         )
@@ -285,6 +341,14 @@ class CoupledModel:
         candA, validA = self._cross_candidates(xs0, y0)
         candB, validB = self._cross_candidates_b(x, y0)
         cross_cand = (candA, validA, candB, validB)
+        # one-hot gather operators for the cross families (step constants;
+        # turn every in-solve candidate fetch into a tiny MXU matmul — see
+        # _gather_ops), plus the FEM model's own families and the
+        # x-independent static-triangle prefetch
+        ops = self._gather_ops(candA, candB)
+        fem_ops = fem._gather_ops(self_cand, ee_cand)
+        if static_cand is not None:
+            static_cand = fem.static_tris[static_cand]  # prefetched corners
 
         # ---- friction lags (straight-through: see ipc.py lag_st rationale)
         def fem_lag(x_k, stop=True):
@@ -306,7 +370,7 @@ class CoupledModel:
             n0 = jax.vmap(jax.grad(lambda p: scene.sdf(p[None])[0]))(y0_d)
             n0 = n0 / jnp.maximum(jnp.linalg.norm(n0, axis=-1, keepdims=True), 1e-9)
             abd_lag0 = (barrier_force_mag(d0, ca.kappa_contact, ca.d_hat), n0)
-            cross_lag0 = self._cross_lag(x, q, cross_cand, q)
+            cross_lag0 = self._cross_lag(x, q, cross_cand, q, ops)
 
         def st(it, s0):
             return jax.tree_util.tree_map(
@@ -330,7 +394,7 @@ class CoupledModel:
             n = jax.vmap(jax.grad(lambda p: scene.sdf(p[None])[0]))(ys)
             n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
             al = st((barrier_force_mag(d, ca.kappa_contact, ca.d_hat), n), abd_lag0)
-            cl = st(self._cross_lag(xs_s, qs, cross_cand, q), cross_lag0)
+            cl = st(self._cross_lag(xs_s, qs, cross_cand, q, ops), cross_lag0)
             return fl, al, cl
 
         # ---- joint energy over the packed unknown z = [x | q]
@@ -340,12 +404,13 @@ class CoupledModel:
         def energy_of(z, fl, al, cl):
             xx, qq = unpack(z)
             e = fem._energy(
-                xx, x_tilde, scene, aim_pos, x0, fl, self_cand, static_cand, ee_cand
+                xx, x_tilde, scene, aim_pos, x0, fl, self_cand, static_cand,
+                ee_cand, None, fem_ops,
             )
             e = e + abd._energy(
                 qq, q_tilde, scene, aim_q, aim_strength, y0, al, abd_cand, None
             )
-            e = e + self._cross_energy(xx, qq, cross_cand, cl, x0, y0)
+            e = e + self._cross_energy(xx, qq, cross_cand, cl, x0, y0, ops)
             return e
 
         # ---- ABD block preconditioner: per-body 12x12 smooth-part inverse
@@ -372,7 +437,7 @@ class CoupledModel:
         # ---- feasibility: union of every family's checks
         d_floor = jnp.minimum(scene.sdf(xs0).min(), 0.0)
         d_floor_abd = jnp.minimum(scene.sdf(y0).min(), 0.0)
-        dA0, dB0 = self._cross_distances(x, q, candA, candB)
+        dA0, dB0 = self._cross_distances(x, q, candA, candB, ops)
         crossA_floor = jnp.minimum(
             0.999 * jnp.where(validA, dA0, 1.0).min(), 1e-7
         )
@@ -400,10 +465,10 @@ class CoupledModel:
             # fem self contact (moving triangles: co-moving-frame test)
             if self_cand is not None:
                 cnd, vld = self_cand
-                d_vt = fem._pair_distances(xx, cnd)
+                d_vt = fem._pair_distances(xx, cnd, fem_ops)
                 ok = ok & (jnp.where(vld, d_vt, 1.0).min() > 1e-6)
-                tri = xx[fem.surface_tris[cnd]]
-                tri0 = xf[fem.surface_tris[cnd]]
+                tri = fem._tri_rows(xx, cnd, fem_ops)
+                tri0 = fem._tri_rows(xf, cnd, fem_ops)
                 crossed = _segment_crosses_moving_triangle(
                     xf[fem.surface_verts][:, None, :],
                     xs_t[:, None, :],
@@ -413,7 +478,7 @@ class CoupledModel:
                 ok = ok & ~(crossed & vld).any()
             if static_cand is not None:
                 ok = ok & (fem._static_distance(xs_t, static_cand).min() > s_floor)
-                tri = fem.static_tris[static_cand]
+                tri = static_cand  # prefetched (Vs, K, 3, 3) corners
                 crossed = _segment_crosses_triangle(
                     xf[fem.surface_verts][:, None, :],
                     xs_t[:, None, :],
@@ -422,12 +487,12 @@ class CoupledModel:
                 ok = ok & ~crossed.any()
             if ee_cand is not None:
                 eci, evalid = ee_cand
-                d_ee = fem._ee_distances(xx, eci)
+                d_ee = fem._ee_distances(xx, eci, fem_ops)
                 ok = ok & (jnp.where(evalid, d_ee, 1.0).min() > ee_floor)
                 pa = xf[fem.edges]
-                pja = xf[fem.edges[eci]]
+                pja = fem._ee_rows(xf, eci, fem_ops)
                 pb = xx[fem.edges]
-                pjb = xx[fem.edges[eci]]
+                pjb = fem._ee_rows(xx, eci, fem_ops)
                 crossed = _edge_pair_crossed(
                     pa[:, None, 0, :], pa[:, None, 1, :],
                     pja[..., 0, :], pja[..., 1, :],
@@ -453,7 +518,7 @@ class CoupledModel:
             # of each family move, so the co-moving-frame test is essential
             # (the end-frame test misses the barrier's push-apart kinematics;
             # measured tunneling in the cloth-catches-falling-body scene)
-            dA, dB = self._cross_distances(xx, qq, candA, candB)
+            dA, dB = self._cross_distances(xx, qq, candA, candB, ops)
             ok = ok & (jnp.where(validA, dA, 1.0).min() > crossA_floor)
             ok = ok & (jnp.where(validB, dB, 1.0).min() > crossB_floor)
             triA = y_t[self.abd.tris[candA]]

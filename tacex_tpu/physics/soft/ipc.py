@@ -619,20 +619,55 @@ class SoftBodyModel:
         valid = (-neg) < cut * cut
         return jax.lax.stop_gradient(cand), jax.lax.stop_gradient(valid)
 
-    def _ee_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+    # ------------------------------------------------- one-hot gather operators
+    def _gather_ops(self, self_cand, ee_cand):
+        """Per-step 0/1 gather matrices for the x-dependent candidate
+        fetches (same rationale as CoupledModel._gather_ops: per-env
+        dynamic-index gathers are issue-bound on TPU and re-execute inside
+        every energy/hvp/feasibility evaluation; the indices are step
+        constants, so each fetch is a tiny one-hot matmul on the MXU)."""
+        V = self.mesh.num_vertices
+        op_vt = op_ee = None
+        if self_cand is not None:
+            op_vt = jax.lax.stop_gradient(
+                jax.nn.one_hot(
+                    self.surface_tris[self_cand[0]].reshape(-1), V, dtype=jnp.float32
+                )
+            )
+        if ee_cand is not None:
+            op_ee = jax.lax.stop_gradient(
+                jax.nn.one_hot(
+                    self.edges[ee_cand[0]].reshape(-1), V, dtype=jnp.float32
+                )
+            )
+        return (op_vt, op_ee)
+
+    def _tri_rows(self, x, cand, ops):
+        """(Vs, K, 3, 3) candidate self-contact triangle corners."""
+        if ops is None or ops[0] is None:
+            return x[self.surface_tris[cand]]
+        return (ops[0] @ x).reshape(cand.shape + (3, 3))
+
+    def _ee_rows(self, x, cand, ops):
+        """(E, K, 2, 3) candidate-edge endpoints."""
+        if ops is None or ops[1] is None:
+            return x[self.edges[cand]]
+        return (ops[1] @ x).reshape(cand.shape + (2, 3))
+
+    def _ee_distances(self, x: jax.Array, cand: jax.Array, ops=None) -> jax.Array:
         pi = x[self.edges]  # (E, 2, 3)
-        pj = x[self.edges[cand]]  # (E, K, 2, 3)
+        pj = self._ee_rows(x, cand, ops)  # (E, K, 2, 3)
         return _edge_edge_distance(
             pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
         )
 
-    def _ee_barrier(self, x: jax.Array, ee_cand) -> jax.Array:
+    def _ee_barrier(self, x: jax.Array, ee_cand, ops=None) -> jax.Array:
         """Mollified edge-edge barrier sum (edge_edge_mollifier fades the
         near-parallel pairs whose support PT pairs already carry)."""
         cand, valid = ee_cand
         c = self.cfg
         pi = x[self.edges]
-        pj = x[self.edges[cand]]
+        pj = self._ee_rows(x, cand, ops)
         d = _edge_edge_distance(
             pi[:, None, 0, :], pi[:, None, 1, :], pj[..., 0, :], pj[..., 1, :]
         )
@@ -643,10 +678,10 @@ class SoftBodyModel:
         d = jnp.where(valid, d, 10.0 * c.d_hat)
         return jnp.sum(m * barrier_extended(d, c.kappa, c.d_hat))
 
-    def _pair_distances(self, x: jax.Array, cand: jax.Array) -> jax.Array:
+    def _pair_distances(self, x: jax.Array, cand: jax.Array, ops=None) -> jax.Array:
         """Unsigned vertex-triangle distances for the candidate set -> (Vs, K)."""
         p = x[self.surface_verts][:, None, :]  # (Vs, 1, 3)
-        tri = x[self.surface_tris[cand]]  # (Vs, K, 3, 3)
+        tri = self._tri_rows(x, cand, ops)  # (Vs, K, 3, 3)
         return _point_triangle_distance(p, tri[..., 0, :], tri[..., 1, :], tri[..., 2, :])
 
     # ---------------------------------------------------------------- energy
@@ -662,14 +697,20 @@ class SoftBodyModel:
         return jax.lax.stop_gradient(cand)
 
     def _static_distance(self, xs: jax.Array, cand: jax.Array) -> jax.Array:
-        tri = self.static_tris[cand]  # (Vs, K, 3, 3)
+        """``cand``: (Vs, K) int triangle ids, OR the prefetched float
+        (Vs, K, 3, 3) corner array — the static-collider triangles are
+        x-independent, so hot paths hoist the fetch out of the solve
+        entirely and pass corners."""
+        if jnp.issubdtype(cand.dtype, jnp.integer):
+            cand = self.static_tris[cand]  # (Vs, K, 3, 3)
+        tri = cand
         return _point_triangle_distance(
             xs[:, None, :], tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
         )
 
     def _energy(
         self, x, x_tilde, scene, aim_pos, x_prev, friction_basis, self_cand=None,
-        static_cand=None, ee_cand=None, dt=None,
+        static_cand=None, ee_cand=None, dt=None, ops=None,
     ):
         c = self.cfg
         if dt is None:
@@ -684,14 +725,14 @@ class SoftBodyModel:
         contact = self._barrier(scene.sdf(xs))
         if self_cand is not None:
             cand, valid = self_cand
-            d_vt = self._pair_distances(x, cand)
+            d_vt = self._pair_distances(x, cand, ops)
             # inactive pairs pushed past d_hat so the barrier ignores them
             d_vt = jnp.where(valid, d_vt, 10.0 * c.d_hat)
             contact = contact + self._barrier(d_vt)
         if static_cand is not None:
             contact = contact + self._barrier(self._static_distance(xs, static_cand))
         if ee_cand is not None:
-            contact = contact + self._ee_barrier(x, ee_cand)
+            contact = contact + self._ee_barrier(x, ee_cand, ops)
         attach = 0.0
         if self.attachment_verts.shape[0] > 0:
             attach = 0.5 * jnp.sum(self.attachment_k * (x[self.attachment_verts] - aim_pos) ** 2)
@@ -734,6 +775,12 @@ class SoftBodyModel:
         ee_cand = (
             self._select_ee_candidates(x) if self.edges is not None else None
         )
+        # one-hot gather operators + x-independent prefetches (step
+        # constants; every in-solve candidate fetch becomes a tiny MXU
+        # matmul — see _gather_ops)
+        ops = self._gather_ops(self_cand, ee_cand)
+        if static_cand is not None:
+            static_cand = self.static_tris[static_cand]  # prefetched corners
 
         def friction_lag(x_k, stop=True):
             """(lambda_n, normal) recomputed from the CURRENT Newton iterate
@@ -772,7 +819,7 @@ class SoftBodyModel:
         def make_energy(friction_basis):
             return lambda xx: self._energy(
                 xx, x_tilde, scene, aim_pos, x, friction_basis, self_cand,
-                static_cand, ee_cand, dt,
+                static_cand, ee_cand, dt, ops,
             )
 
         # Feasibility floor: strict penetration-free (d > 0) when the step
@@ -801,13 +848,13 @@ class SoftBodyModel:
             ok = sdf_fn(xx[self.surface_verts]).min() > d_floor
             if self_cand is not None:
                 cand, valid = self_cand
-                d_vt = self._pair_distances(xx, cand)
+                d_vt = self._pair_distances(xx, cand, ops)
                 ok = ok & (jnp.where(valid, d_vt, 1.0).min() > 1e-6)
                 # crossing check: unsigned vertex-triangle distances cannot
                 # see a vertex that jumped THROUGH a triangle this trial;
                 # the triangles MOVE too, so test in their co-moving frame
-                tri = xx[self.surface_tris[cand]]  # (Vs, K, 3, 3)
-                tri0 = x_from[self.surface_tris[cand]]
+                tri = self._tri_rows(xx, cand, ops)  # (Vs, K, 3, 3)
+                tri0 = self._tri_rows(x_from, cand, ops)
                 crossed = _segment_crosses_moving_triangle(
                     x_from[self.surface_verts][:, None, :],
                     xx[self.surface_verts][:, None, :],
@@ -818,7 +865,7 @@ class SoftBodyModel:
             if static_cand is not None:
                 xs_try = xx[self.surface_verts]
                 ok = ok & (self._static_distance(xs_try, static_cand).min() > s_floor)
-                tri = self.static_tris[static_cand]
+                tri = static_cand  # prefetched (Vs, K, 3, 3) corners
                 crossed = _segment_crosses_triangle(
                     x_from[self.surface_verts][:, None, :],
                     xs_try[:, None, :],
@@ -827,14 +874,14 @@ class SoftBodyModel:
                 ok = ok & ~crossed.any()
             if ee_cand is not None:
                 eci, evalid = ee_cand
-                d_ee = self._ee_distances(xx, eci)
+                d_ee = self._ee_distances(xx, eci, ops)
                 ok = ok & (jnp.where(evalid, d_ee, 1.0).min() > ee_floor)
                 # EE crossing CCD (edges pass through each other unseen by
                 # unsigned distances)
                 pa = x_from[self.edges]
-                pja = x_from[self.edges[eci]]
+                pja = self._ee_rows(x_from, eci, ops)
                 pb = xx[self.edges]
-                pjb = xx[self.edges[eci]]
+                pjb = self._ee_rows(xx, eci, ops)
                 crossed = _edge_pair_crossed(
                     pa[:, None, 0, :], pa[:, None, 1, :],
                     pja[..., 0, :], pja[..., 1, :],

