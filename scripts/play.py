@@ -20,7 +20,7 @@ from pathlib import Path as _Path
 _sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo root, so scripts run from anywhere
 
 from tacex_tpu import envs
-from tacex_tpu.rl import PPO, PPOConfig
+from tacex_tpu.rl import PPO
 
 
 def main() -> None:
@@ -33,8 +33,12 @@ def main() -> None:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
+    from tacex_tpu.rl.agents import agent_cfg_for
+
     env = envs.make(args.task, num_envs=args.num_envs)
-    ppo = PPO(env, PPOConfig())
+    # the per-task tuned config (same one train.py used) so the policy
+    # network matches the checkpoint being restored
+    ppo = PPO(env, agent_cfg_for(args.task, "ppo"))
     ts = ppo.init(jax.random.PRNGKey(args.seed))
     params = ts.params
     if args.checkpoint_dir:
