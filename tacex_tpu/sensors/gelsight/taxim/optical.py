@@ -26,7 +26,16 @@ Differences from the reference implementation (deliberate, for TPU):
     with one scatter-min per channel (``_shadow_pass_compact``; the
     reference's "fast" path uses a data-dependent while_loop over extracted
     contact pixels — dynamic shapes, hostile to XLA. A dense static-shape
-    oracle is kept for tests). ~90x faster at 320x240: 8.0 ms/img vs ~0.7 s;
+    oracle is kept for tests). ~90x faster at 320x240: 8.0 ms/img vs ~0.7 s.
+    The compact pass is BIT-IDENTICAL to the dense oracle (tested); the
+    residual ours-vs-reference shadow-image error (mean 3.1e-3 / max 0.054)
+    is fully attributed to out-of-contact DIRECTION-bin noise shared with the
+    no-shadow path: 84% of out-of-contact pixels sit in magnitude bin 0 with
+    |grad| ~ 1e-7, where grad_dir = arctan2(blur noise) — FFT (reference) vs
+    separable (ours) convolutions seed different noise and the LUT's bin-0
+    rows vary ~0.05 across direction bins. The reference reproduces those
+    pixels no better against ITSELF (max 0.057 under a 1e-6 mm input
+    perturbation — test_shadow_residual_at_reference_noise_floor);
   * no NaN-sentinel + lax.cond for optional press depth: optionality is
     resolved statically at trace time.
 

@@ -106,13 +106,74 @@ class TestParityVsReference:
         ours = np.asarray(tx.render(calib, jnp.asarray(hm), with_shadow=True))
         theirs = np.asarray(ref_taxim.render_direct(jnp.asarray(hm), with_shadow=True))
         err = np.abs(ours - theirs)
-        # Round 3: box_dilate now anchors exactly like the reference's
-        # scipy-'same' ones-kernel convolution (even kernels anchor
-        # [i-k//2, i+(k-1)//2]); the residual is the compact pass's
-        # boundary-pixel ORDER inside ties of the scatter-min, worth a few
-        # counts along shadow edges (measured mean 3.1e-3, max 0.054).
+        # Round 4 attribution (closing the round-3 "residual unattributed"
+        # flag): the residual is NOT in the shadow pass at all. Measured
+        # decomposition on this scene: our compact pass is BIT-IDENTICAL to
+        # the dense reference-semantics pass (test below); magnitude bins
+        # match the reference at every pixel; the deformed gel matches to
+        # 1.8e-6 mm. The whole residual is out-of-contact DIRECTION-bin
+        # noise: 84% of out-of-contact pixels sit in magnitude bin 0 with
+        # |grad| ~ 1e-7 (median), where grad_dir = arctan2(conv noise) —
+        # the reference's FFT blur vs our separable blur seed different
+        # noise, 64% of those pixels land in different direction bins, and
+        # the LUT's bin-0 rows vary ~0.05 across direction. The reference
+        # itself reproduces those pixels no better (see
+        # test_shadow_residual_at_reference_noise_floor).
         assert err.mean() < 4e-3, f"mean abs err {err.mean()}"
         assert err.max() < 0.1, f"max abs err {err.max()}"
+        # in contact (where pixels are signal-determined) parity is tight
+        contact = np.asarray(hm < 0)[..., None].repeat(3, -1)
+        assert err[contact].max() < 0.01, f"in-contact max {err[contact].max()}"
+
+    def test_shadow_compact_equals_dense(self, calib):
+        """The production compact shadow pass (boundary top-k compaction +
+        scatter-min) must be BIT-IDENTICAL to the dense reference-semantics
+        pass — no tie-ordering or capacity effects at test scale. This pins
+        the round-4 attribution: any ours-vs-reference shadow residual enters
+        through the shared inputs (flat-region direction-bin noise), never
+        through the compaction restructuring."""
+        from tacex_tpu.sensors.gelsight.taxim import optical as O
+
+        hm = jnp.asarray(_hm(batch=2, press=1.2))
+        deformed, contact_mask = O.compute_gel_deformation(calib, hm)
+        deformed_px = deformed / calib.sensor_params.pixmm
+        grad_mag, grad_dir = O.generate_normals(calib, -deformed_px)
+        raw = O.shade(calib, grad_mag, grad_dir)
+        comp = np.asarray(
+            O._shadow_pass_compact(calib, raw, deformed_px, contact_mask, grad_dir)
+        )
+        for i in range(2):
+            dense = np.asarray(
+                O._shadow_pass_dense(
+                    calib, raw[i], deformed_px[i], contact_mask[i], grad_dir[i]
+                )
+            )
+            np.testing.assert_array_equal(comp[i], dense)
+
+    def test_shadow_residual_at_reference_noise_floor(self, calib, ref_taxim):
+        """Executable attribution of the shadow-parity residual: the
+        reference's out-of-contact pixels are noise-determined (direction =
+        arctan2 of ~1e-6 FFT-blur residue in magnitude-bin-0 regions), so the
+        reference cannot reproduce ITSELF there under a physically
+        meaningless 1e-6 mm input perturbation. Our disagreement with the
+        reference must be no worse than the reference's own noise floor
+        (measured: ours max 0.054 vs self-noise max 0.057)."""
+        hm = _hm(batch=1, press=1.2)
+        rng = np.random.default_rng(0)
+        pert = rng.normal(0.0, 1e-6, hm.shape).astype(np.float32)
+        ref_a = np.asarray(ref_taxim.render_direct(jnp.asarray(hm), with_shadow=True))
+        ref_b = np.asarray(
+            ref_taxim.render_direct(jnp.asarray(hm + pert), with_shadow=True)
+        )
+        ours = np.asarray(tx.render(calib, jnp.asarray(hm), with_shadow=True))
+        self_noise = np.abs(ref_a - ref_b)
+        our_err = np.abs(ours - ref_a)
+        assert our_err.max() <= self_noise.max() * 1.2 + 1e-3, (
+            f"our max {our_err.max():.4f} vs reference self-noise {self_noise.max():.4f}"
+        )
+        assert our_err.mean() <= self_noise.mean() * 2.0 + 1e-3, (
+            f"our mean {our_err.mean():.2e} vs self-noise mean {self_noise.mean():.2e}"
+        )
 
     def test_flat_heightmap_close_to_reference(self, calib, ref_taxim):
         hm = np.full((1, RES[0], RES[1]), 2.0, dtype=np.float32)  # no contact
