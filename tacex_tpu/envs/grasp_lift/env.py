@@ -125,6 +125,16 @@ class GraspLiftEnvCfg(DirectRLEnvCfg):
     lift_target: float = 0.015
     drop_z: float = -0.008  # cube center below this = dropped (lost the grip)
     reset_xy_noise: float = 1.0e-3
+    # Stagger initial episode phases: grasp-lift episodes almost never
+    # terminate early (success is a held state; drops are rare once trained),
+    # so without staggering all envs truncate on the SAME step forever and
+    # every rollout window sits at one episode phase. Measured on the 64-env
+    # PPO run (logs/grasp_lift_ppo_r04b): with episode = 2 rollout windows the
+    # per-iteration reward alternates ~1 <-> ~12 (window A = post-reset
+    # re-grasp, window B = holding) and the advantage signal oscillates with
+    # it. Randomizing the initial counters de-synchronizes truncations, making
+    # every window a stationary mix of phases.
+    stagger_initial_episodes: bool = True
 
     # solver. d_hat = 1 mm spans the initial pad-cube gaps, so the barrier
     # (and its friction) engages from the first squeeze step — the cube
@@ -300,6 +310,16 @@ class GraspLiftEnv(DirectRLEnv):
 
     def reset_all(self, state: GraspLiftState):
         state = self._reset_where(state, jnp.ones((self.cfg.num_envs,), bool))
+        if self.cfg.stagger_initial_episodes:
+            key, k_stagger = jax.random.split(state.key)
+            ep0 = jax.random.randint(
+                k_stagger,
+                (self.cfg.num_envs,),
+                0,
+                self.cfg.max_episode_length,
+                jnp.int32,
+            )
+            state = dataclasses.replace(state, episode_length=ep0, key=key)
         obs, state, _ = self._observations(state)
         return state, obs
 

@@ -47,10 +47,15 @@ PPO_AGENT_CFGS: dict[str, dict] = {
     "TacEx-Factory-GearMesh-Direct-v0": _FACTORY_PPO,
     "TacEx-Factory-NutThread-Direct-v0": _FACTORY_PPO,
     # coupled-world grasp (no reference counterpart): short horizon, state
-    # policy — the state split's hyperparameters fit
-    "TacEx-Grasp-Lift-Uipc-v0": _STATE_PPO,
-    "TacEx-Grasp-Lift-Uipc-Depth-v0": _VISION_PPO,
-    "TacEx-Grasp-Lift-Uipc-Tactile-v0": _VISION_PPO,
+    # policy — the state split's hyperparameters fit. A trained lift policy
+    # earns ~13/step over a ~200-step horizon (returns ~1.2k), so the raw
+    # critic's MSE reaches ~5e4 and its gradient monopolizes the shared
+    # trunk under global-norm clipping — the round-4 64-env run collapsed
+    # and re-converged twice from exactly this (logs/grasp_lift_ppo_r04).
+    # The running value-target scaler keeps the critic loss O(1).
+    "TacEx-Grasp-Lift-Uipc-v0": dict(_STATE_PPO, value_preprocessor=True),
+    "TacEx-Grasp-Lift-Uipc-Depth-v0": dict(_VISION_PPO, value_preprocessor=True),
+    "TacEx-Grasp-Lift-Uipc-Tactile-v0": dict(_VISION_PPO, value_preprocessor=True),
 }
 
 # skrl_sac_cfg.yaml: batch 256, lr 1e-4 (state) / 5e-4 grad steps (vision)

@@ -48,8 +48,12 @@ class PPOConfig:
     RunningStandardScaler). Off by default: bootstrapping GAE from unscaled
     network values while the scaler's variance is itself driven by those
     bootstrapped returns forms a positive feedback loop that can run away
-    under early done-storms; raw-return critics are stable on these tasks
-    (rewards are O(0.1-1))."""
+    under early done-storms; raw-return critics are stable on the ball-rolling
+    task family (rewards O(0.1-1)). Turn it ON for tasks with large returns:
+    grasp-lift earns ~13/step over ~200 steps (returns ~1.2k), where the raw
+    critic's MSE (~5e4) monopolizes the global-norm-clipped gradient through
+    the shared trunk and training collapses/re-converges (measured,
+    logs/grasp_lift_ppo_r04 + BASELINE.md) — the scaler keeps it O(1)."""
     hidden: tuple = (256, 128, 64)
 
 

@@ -46,7 +46,7 @@ class TestGraspLift:
         rises with the pads (slip allowed) well above its start height."""
         env = envs.make(
             "TacEx-Grasp-Lift-Uipc-v0", num_envs=2, squeeze_rate=4e-3,
-            episode_length_s=3.0,
+            episode_length_s=3.0, stagger_initial_episodes=False,
         )
         st, obs, traj, _ = _scripted_rollout(env, steps=60)
         assert np.isfinite(traj).all()
@@ -61,7 +61,7 @@ class TestGraspLift:
         friction-carried, and that the drop termination fires)."""
         env = envs.make(
             "TacEx-Grasp-Lift-Uipc-v0", num_envs=2, squeeze_rate=4e-3,
-            friction_mu=0.0, episode_length_s=3.0,
+            friction_mu=0.0, episode_length_s=3.0, stagger_initial_episodes=False,
         )
         st, obs, traj, any_term = _scripted_rollout(env, steps=45)
         assert np.isfinite(traj).all()
@@ -108,12 +108,33 @@ class TestGraspLift:
         assert int(np.asarray(st2.episode_length)[0]) == 0
         assert abs(float(np.asarray(st2.cube.q)[0, 0, 2])) < 1e-3
 
+    def test_staggered_initial_episode_phases(self):
+        """Default: reset_all randomizes per-env episode counters so the
+        batch truncates out of phase (grasp-lift episodes rarely terminate
+        early, so synchronized resets would pin every rollout window at one
+        episode phase — measured period-2 reward aliasing in the round-4
+        PPO runs). Per-env masked resets still start at 0."""
+        env = envs.make("TacEx-Grasp-Lift-Uipc-v0", num_envs=16)
+        st = env.init_state(jax.random.PRNGKey(0))
+        st, _ = env.reset_all(st)
+        ep0 = np.asarray(st.episode_length)
+        assert len(np.unique(ep0)) > 4, ep0  # phases actually spread
+        assert (ep0 >= 0).all() and (ep0 < env.cfg.max_episode_length).all()
+        # opt-out pins the old synchronized behavior
+        env2 = envs.make(
+            "TacEx-Grasp-Lift-Uipc-v0", num_envs=16, stagger_initial_episodes=False
+        )
+        st2 = env2.init_state(jax.random.PRNGKey(0))
+        st2, _ = env2.reset_all(st2)
+        assert (np.asarray(st2.episode_length) == 0).all()
+
     def test_tactile_depth_obs(self):
         """obs_mode='depth': per-pad compression images are real gel
         deformation — the cube's square footprint indents the face center
         clearly more than the (Poisson-bulged) face corners."""
         env = envs.make(
             "TacEx-Grasp-Lift-Uipc-Depth-v0", num_envs=1, squeeze_rate=4e-3,
+            stagger_initial_episodes=False,
         )
         st = env.init_state(jax.random.PRNGKey(0))
         st, obs = env.reset_all(st)

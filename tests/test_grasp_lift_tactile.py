@@ -25,6 +25,7 @@ from tacex_tpu import envs
 def rollout():
     env = envs.make(
         "TacEx-Grasp-Lift-Uipc-Tactile-v0", num_envs=2, squeeze_rate=4e-3,
+        stagger_initial_episodes=False,
     )
     st = env.init_state(jax.random.PRNGKey(0))
     st, obs0 = env.reset_all(st)

@@ -76,6 +76,52 @@ class TestPPO:
         assert last > first + 0.02, (first, last, rewards.round(3).tolist())
 
 
+class TestValueScaler:
+    def test_running_scaler_matches_full_batch_stats(self):
+        """RunningScaler's parallel-variance merge (skrl RunningStandardScaler
+        semantics) must reproduce full-batch mean/var when fed the same data
+        in chunks (up to the 1e-4 prior count)."""
+        from tacex_tpu.rl.ppo import RunningScaler
+
+        rng = np.random.default_rng(0)
+        data = rng.normal(3.0, 7.0, size=(4, 256)).astype(np.float32)
+        sc = RunningScaler.init()
+        for chunk in data:
+            sc = sc.update(jnp.asarray(chunk))
+        np.testing.assert_allclose(float(sc.mean), data.mean(), rtol=2e-3)
+        np.testing.assert_allclose(float(sc.var), data.var(), rtol=2e-3)
+        # scale/unscale are inverses
+        x = jnp.asarray(data[0, :8])
+        np.testing.assert_allclose(
+            np.asarray(sc.unscale(sc.scale(x))), data[0, :8], rtol=1e-4, atol=1e-4
+        )
+
+    def test_value_preprocessor_trains(self):
+        """The scaled-critic path (value_preprocessor=True — the grasp-lift
+        task config, agents.py) must train end-to-end: scaler state tracks the
+        return distribution, losses stay finite, and the policy still improves.
+        Guards the GAE unscale/rescale plumbing, which no task exercised
+        before round 4."""
+        env = envs.make("TacEx-Ball-Rolling-Privileged-v0", num_envs=32)
+        cfg = PPOConfig(
+            rollouts=16, mini_batches=4, learning_epochs=4, hidden=(64, 64),
+            learning_rate=1e-3, value_preprocessor=True,
+        )
+        ppo = PPO(env, cfg)
+        ts = ppo.init(jax.random.PRNGKey(3))
+        step = ppo.jit_train_step()
+        rewards = []
+        for _ in range(12):
+            ts, metrics = step(ts)
+            rewards.append(float(metrics["reward_per_step"]))
+        rewards = np.asarray(rewards)
+        assert np.isfinite(rewards).all()
+        assert float(ts.value_scaler.count) > 1.0  # scaler actually updated
+        assert float(ts.value_scaler.var) != 1.0
+        # critic loss is in scaled units -> O(1), not O(return^2)
+        assert rewards[-3:].mean() > rewards[:3].mean() - 0.01
+
+
 class TestSAC:
     def test_sac_train_step(self):
         from tacex_tpu.rl import SAC, SACConfig

@@ -80,8 +80,22 @@ def main() -> None:
                 out[kind] = int(num)
             return out
 
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+            ).stdout.strip()
+            dirty = bool(
+                subprocess.run(
+                    ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+                ).stdout.strip()
+            )
+        except OSError:
+            commit, dirty = "unknown", True
         report = {
             "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            # the audited tree: report is only meaningful against this commit
+            "commit": commit,
+            "dirty_tree": dirty,
             "total_passed": sum(counts(r[3]).get("passed", 0) for r in rows),
             "total_failed": sum(counts(r[3]).get("failed", 0) for r in rows)
             + sum(1 for r in rows if r[1] == "FAIL" and not counts(r[3])),
