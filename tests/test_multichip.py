@@ -88,3 +88,41 @@ class TestMultichipPPO:
         import __graft_entry__ as g
 
         g.dryrun_multichip(N_DEV)
+
+
+class TestMultichipCoupledWorld:
+    def test_grasp_lift_sharded_matches_replicated(self, _eight_devices):
+        """The round-3/4 headline capability — the coupled FEM+ABD Newton
+        solve — stepped with the env axis sharded over an 8-device mesh must
+        reproduce the replicated run exactly: each env's solve is local (the
+        one-hot gather operators are step constants shared across envs, so
+        they replicate), and no cross-env collective may alter the physics.
+        This is the multi-chip story for the env family the reference can't
+        batch at all (libuipc gelpads are --num_envs=1)."""
+        num_envs = N_DEV
+        env = envs.make(
+            "TacEx-Grasp-Lift-Uipc-v0", num_envs=num_envs, newton_iters=2, cg_iters=8
+        )
+        mesh = env_mesh(N_DEV)
+        actions = jnp.tile(jnp.array([[1.0, 0.2]]), (num_envs, 1))
+
+        def run(shard: bool):
+            st = env.init_state(jax.random.PRNGKey(0))
+            st, obs = env.reset_all(st)
+            if shard:
+                st = shard_env_tree(st, mesh, num_envs)
+            step = jax.jit(env.step)
+            for _ in range(2):
+                st, obs, rew, term, trunc, info = step(st, actions)
+            return np.asarray(obs["proprio_obs"]), np.asarray(rew)
+
+        obs_r, rew_r = run(shard=False)
+        obs_s, rew_s = run(shard=True)
+        # the sharded layout re-tiles the one-hot gather matmuls, so f32
+        # reassociation noise (~1e-5 abs, measured) walks through the
+        # iterative Newton/CG solve — same reason the flagship sharded test
+        # above allows 5e-3 on metrics; anything beyond noise (a wrong
+        # collective, cross-env mixing) shows up orders of magnitude larger
+        np.testing.assert_allclose(obs_s, obs_r, rtol=1e-3, atol=2e-5)
+        np.testing.assert_allclose(rew_s, rew_r, rtol=1e-3, atol=2e-5)
+        assert np.isfinite(obs_s).all()
