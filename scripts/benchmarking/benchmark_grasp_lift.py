@@ -27,10 +27,10 @@ import jax
 import jax.numpy as jnp
 
 
-def run(env_id: str, n_envs: int, steps: int) -> dict:
+def run(env_id: str, n_envs: int, steps: int, overrides: dict | None = None) -> dict:
     from tacex_tpu import envs
 
-    env = envs.make(env_id, num_envs=n_envs)
+    env = envs.make(env_id, num_envs=n_envs, **(overrides or {}))
     state = env.init_state(jax.random.PRNGKey(0))
     state, _ = env.reset_all(state)
     step = jax.jit(env.step)
@@ -62,6 +62,7 @@ def run(env_id: str, n_envs: int, steps: int) -> dict:
     return {
         "metric": f"grasp_lift_env_step[{env_id}]",
         "num_envs": n_envs,
+        **({"overrides": overrides} if overrides else {}),
         "env_steps_per_s": round(n_envs * steps / dt, 1),
         "ms_per_step": round(1e3 * dt / steps, 2),
         "compile_s": round(compile_s, 1),
@@ -70,12 +71,28 @@ def run(env_id: str, n_envs: int, steps: int) -> dict:
 
 
 def main() -> None:
+    import ast
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=32)
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--env-id", default="TacEx-Grasp-Lift-Uipc-v0")
+    ap.add_argument(
+        "--env_cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="env cfg override, e.g. --env_cfg pad_resolution=(3,6,6) "
+        "(repeatable; values parsed as Python literals) — used for the "
+        "scale-knee sweep over env count x pad resolution",
+    )
     args = ap.parse_args()
-    print(json.dumps(run(args.env_id, args.envs, args.steps)), flush=True)
+    overrides = {}
+    for kv in args.env_cfg:
+        k, v = kv.split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        overrides[k] = v
+    print(json.dumps(run(args.env_id, args.envs, args.steps, overrides)), flush=True)
 
 
 if __name__ == "__main__":

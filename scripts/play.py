@@ -35,7 +35,14 @@ def main() -> None:
 
     from tacex_tpu.rl.agents import agent_cfg_for
 
-    env = envs.make(args.task, num_envs=args.num_envs)
+    # staggering first-episode phases is a TRAINING-only behavior (it
+    # decorrelates resets across the batch); under evaluation it truncates
+    # every env's first episode early and biases returns low (round-4
+    # advice) — switch it off where the env cfg has the knob
+    try:
+        env = envs.make(args.task, num_envs=args.num_envs, stagger_initial_episodes=False)
+    except TypeError:
+        env = envs.make(args.task, num_envs=args.num_envs)
     # the per-task tuned config (same one train.py used) so the policy
     # network matches the checkpoint being restored
     ppo = PPO(env, agent_cfg_for(args.task, "ppo"))

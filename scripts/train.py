@@ -49,18 +49,44 @@ def main() -> None:
         "--viz_interval", type=int, default=50,
         help="refresh the metrics png + tactile-obs frame strip every N iters",
     )
+    p.add_argument(
+        "--env_cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="env config override, e.g. --env_cfg episode_length_s=6.0 "
+        "(repeatable; values parsed as Python literals — the hydra-style "
+        "override surface of the reference launchers)",
+    )
+    p.add_argument(
+        "--agent_cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="agent config override on top of the per-task tuned values, "
+        "e.g. --agent_cfg lr_max=1e-3 (repeatable)",
+    )
     args = p.parse_args()
 
-    env = envs.make(args.task, num_envs=args.num_envs)
+    import ast
+
+    def _parse_kv(pairs):
+        out = {}
+        for kv in pairs:
+            k, v = kv.split("=", 1)
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass  # keep as string
+            out[k] = v
+        return out
+
+    env_overrides = _parse_kv(args.env_cfg)
+    agent_overrides = _parse_kv(args.agent_cfg)
+    env = envs.make(args.task, num_envs=args.num_envs, **env_overrides)
     from tacex_tpu.rl.agents import agent_cfg_for
 
     if args.algorithm == "sac":
         from tacex_tpu.rl import SAC
 
-        cfg = agent_cfg_for(args.task, "sac", rollout_steps=args.rollouts)
+        cfg = agent_cfg_for(args.task, "sac", rollout_steps=args.rollouts, **agent_overrides)
         ppo = SAC(env, cfg)
     else:
-        cfg = agent_cfg_for(args.task, "ppo", rollouts=args.rollouts)
+        cfg = agent_cfg_for(args.task, "ppo", rollouts=args.rollouts, **agent_overrides)
         ppo = PPO(env, cfg)
     print(f"agent cfg ({args.algorithm}): {cfg}")
     ts = ppo.init(jax.random.PRNGKey(args.seed))
@@ -87,6 +113,13 @@ def main() -> None:
     metrics_fp = None
     if run_dir:
         Path(run_dir).mkdir(parents=True, exist_ok=True)
+        # reproducibility record: the exact launch config of this run
+        with open(Path(run_dir) / "config.json", "w") as f:
+            json.dump(
+                {"argv": vars(args), "env_overrides": env_overrides,
+                 "agent_cfg": str(cfg)},
+                f, indent=1, default=str,
+            )
         metrics_fp = open(Path(run_dir) / "metrics.jsonl", "a")
     if args.viz_dir:
         from tacex_tpu.utils import LiveVisualizer

@@ -135,6 +135,16 @@ class GraspLiftEnvCfg(DirectRLEnvCfg):
     # it. Randomizing the initial counters de-synchronizes truncations, making
     # every window a stationary mix of phases.
     stagger_initial_episodes: bool = True
+    # Default-on broad-phase observability (round-4 verdict item 5): every
+    # step logs CoupledModel.missed_barriers — cross-family pairs within
+    # TRUE barrier distance (< d_hat) in excess of the top-K candidate
+    # capacity, summed over envs. Jitted into the step (two tiny exact
+    # distance matrices over ~150 verts x 12 tris), <1% of the coupled
+    # solve; nonzero means an ACTIVE barrier pair got dropped — raise
+    # coupling_k. (The conservative candidate-cut counters in
+    # UipcSim.broad_phase_overflow chronically read nonzero in tight
+    # grasps and stay an opt-in diagnostic there.)
+    log_broad_phase_overflow: bool = True
 
     # solver. d_hat = 1 mm spans the initial pad-cube gaps, so the barrier
     # (and its friction) engages from the first squeeze step — the cube
@@ -479,6 +489,15 @@ class GraspLiftEnv(DirectRLEnv):
         info = {
             "log": {
                 "lift_reward": r_lift.mean(),
+                **(
+                    {
+                        "Metric/missed_barriers": jax.vmap(
+                            self.world.missed_barriers
+                        )(gel.x, cube.q).sum().astype(jnp.float32)
+                    }
+                    if c.log_broad_phase_overflow
+                    else {}
+                ),
                 "grip_reward": r_grip.mean(),
                 "drop_penalty": r_drop.mean(),
                 "success_reward": r_success.mean(),

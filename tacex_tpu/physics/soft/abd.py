@@ -299,22 +299,33 @@ class AbdModel:
         )
 
     def _tri_rows(self, x, ci, ops):
-        """(Vt, K, 3, 3) candidate-triangle corners."""
+        """(Vt, K, 3, 3) candidate-triangle corners.
+
+        precision=HIGHEST makes the 0/1 matmul an EXACT gather — the TPU
+        default rounds to bf16, injecting coordinate error into barrier
+        distances and feasibility floors (round-4 advice)."""
         if ops is None or ops[0] is None:
             return x[self.tris[ci]]
-        return (ops[0] @ x).reshape(ci.shape + (3, 3))
+        return jnp.matmul(
+            ops[0], x, precision=jax.lax.Precision.HIGHEST
+        ).reshape(ci.shape + (3, 3))
 
     def _ee_rows(self, x, cand, ops):
-        """(E, K, 2, 3) candidate-edge endpoints."""
+        """(E, K, 2, 3) candidate-edge endpoints (exact one-hot gather)."""
         if ops is None or ops[1] is None:
             return x[self.edges[cand]]
-        return (ops[1] @ x).reshape(cand.shape + (2, 3))
+        return jnp.matmul(
+            ops[1], x, precision=jax.lax.Precision.HIGHEST
+        ).reshape(cand.shape + (2, 3))
 
     def _body_rows(self, M, shape2, ops):
         """(Vt, K, ...) per-candidate body rows of M (B, ...)."""
         if ops is None or ops[2] is None:
             return None  # caller falls back to M[tb]
-        return (ops[2] @ M.reshape(M.shape[0], -1)).reshape(shape2 + M.shape[1:])
+        return jnp.matmul(
+            ops[2], M.reshape(M.shape[0], -1),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(shape2 + M.shape[1:])
 
     def _pair_distances(self, x: jax.Array, cand: jax.Array, ops=None) -> jax.Array:
         tri = self._tri_rows(x, cand, ops)  # (Vt, K, 3, 3)

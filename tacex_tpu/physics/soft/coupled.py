@@ -161,6 +161,46 @@ class CoupledModel:
         )
         return out
 
+    def missed_barriers(
+        self, x: jax.Array, q: jax.Array, reach_frac: float = 0.5
+    ) -> jax.Array:
+        """Cross-family pairs INSIDE actual barrier reach (exact
+        vertex-triangle distance < reach_frac·d_hat) in excess of the top-K
+        candidate capacity, for one env — the actionable variant of
+        ``broad_phase_overflow`` for default-on env telemetry.
+
+        The conservative candidate-cut counters (3·d_hat + support radius)
+        chronically read nonzero in tight grasp scenes — e.g. every
+        inner-face gel vertex "reaches" all 12 cube triangles — which
+        trains users to ignore the alarm. This counter is zero whenever at
+        most K pairs per vertex carry MEANINGFUL barrier force: the
+        log-barrier fades to exactly 0 at d_hat, so the default counts
+        pairs inside d_hat/2, where dropping one loses real contact force
+        (a vertex near a cube corner sits just under d_hat of all 6
+        adjacent triangles — those extra near-zero-energy pairs are
+        harmless to drop). libuipc's complete BVH broad phase never misses
+        a pair (reference uipc_sim.py:121). Exact distances over (Vs, Ta)
+        are trivially cheap at scene scale (~150 x 12)."""
+        d_hat = reach_frac * self.fem.cfg.d_hat
+        k = self.cross_k
+        xs = x[self.fem.surface_verts]
+        y = self.abd.world_points(q)
+        triA = y[self.abd.tris]  # (Ta, 3, 3)
+        dA = _point_triangle_distance(
+            xs[:, None, :],
+            triA[None, :, 0, :], triA[None, :, 1, :], triA[None, :, 2, :],
+        )  # (Vs, Ta)
+        withinA = (dA < d_hat).sum(-1)
+        missed = jnp.maximum(withinA - min(k, triA.shape[0]), 0).sum()
+        triB = x[self.fem.surface_tris]  # (Ts, 3, 3)
+        dB = _point_triangle_distance(
+            y[:, None, :],
+            triB[None, :, 0, :], triB[None, :, 1, :], triB[None, :, 2, :],
+        )  # (Va, Ts)
+        withinB = (dB < d_hat).sum(-1)
+        missed += jnp.maximum(withinB - min(k, triB.shape[0]), 0).sum()
+        return missed
+
     # ------------------------------------------------- one-hot gather operators
     def _gather_ops(self, candA, candB):
         """Per-step 0/1 gather matrices for the cross-family triangle
@@ -189,25 +229,33 @@ class CoupledModel:
         )
 
     def _triA(self, y, candA, ops):
-        """(Vs, K, 3, 3) ABD triangle corners per FEM-vertex candidate."""
+        """(Vs, K, 3, 3) ABD triangle corners per FEM-vertex candidate.
+
+        precision=HIGHEST on all three one-hot matmuls: full-f32 makes the
+        0/1 product an EXACT gather; the TPU default would round coordinates
+        to bf16 before they feed barrier distances and feasibility floors
+        (round-4 advice)."""
         if ops is None:
             return y[self.abd.tris[candA]]
         shp = candA.shape + (3, 3)
-        return (ops[0] @ y).reshape(shp)
+        return jnp.matmul(ops[0], y, precision=jax.lax.Precision.HIGHEST).reshape(shp)
 
     def _triB(self, x, candB, ops):
         """(Va, K, 3, 3) FEM surface-triangle corners per ABD-vertex cand."""
         if ops is None:
             return x[self.fem.surface_tris[candB]]
         shp = candB.shape + (3, 3)
-        return (ops[1] @ x).reshape(shp)
+        return jnp.matmul(ops[1], x, precision=jax.lax.Precision.HIGHEST).reshape(shp)
 
     def _bodyrows(self, M, candA, ops):
         """(Vs, K, ...) per-candidate body rows of M (B, ...)."""
         if ops is None:
             return M[self.abd.tri_body[candA]]
         shp = candA.shape + M.shape[1:]
-        return (ops[2] @ M.reshape(M.shape[0], -1)).reshape(shp)
+        return jnp.matmul(
+            ops[2], M.reshape(M.shape[0], -1),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(shp)
 
     # --------------------------------------------------------------- energies
     def _cross_distances(self, x, q, candA, candB, ops=None):

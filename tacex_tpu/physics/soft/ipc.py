@@ -643,16 +643,25 @@ class SoftBodyModel:
         return (op_vt, op_ee)
 
     def _tri_rows(self, x, cand, ops):
-        """(Vs, K, 3, 3) candidate self-contact triangle corners."""
+        """(Vs, K, 3, 3) candidate self-contact triangle corners.
+
+        precision=HIGHEST: with a 0/1 matrix a full-f32 matmul reproduces
+        the gather EXACTLY; the TPU default rounds operands to bf16, which
+        would put ~tens-of-µm error into coordinates that feed barrier
+        distances and feasibility floors (round-4 advice)."""
         if ops is None or ops[0] is None:
             return x[self.surface_tris[cand]]
-        return (ops[0] @ x).reshape(cand.shape + (3, 3))
+        return jnp.matmul(
+            ops[0], x, precision=jax.lax.Precision.HIGHEST
+        ).reshape(cand.shape + (3, 3))
 
     def _ee_rows(self, x, cand, ops):
-        """(E, K, 2, 3) candidate-edge endpoints."""
+        """(E, K, 2, 3) candidate-edge endpoints (exact one-hot gather)."""
         if ops is None or ops[1] is None:
             return x[self.edges[cand]]
-        return (ops[1] @ x).reshape(cand.shape + (2, 3))
+        return jnp.matmul(
+            ops[1], x, precision=jax.lax.Precision.HIGHEST
+        ).reshape(cand.shape + (2, 3))
 
     def _ee_distances(self, x: jax.Array, cand: jax.Array, ops=None) -> jax.Array:
         pi = x[self.edges]  # (E, 2, 3)
@@ -956,6 +965,7 @@ class SoftBodyModel:
         scene: RigidSdfScene,
         aim_pos: jax.Array | None = None,
         scene_prev: RigidSdfScene | None = None,
+        aim_prev: jax.Array | None = None,
     ):
         """Advance all envs one dt. ``aim_pos``: (N, Va, 3) attachment targets.
 
@@ -965,7 +975,9 @@ class SoftBodyModel:
         ``scene_prev`` defaults to ``scene`` (colliders held at their new
         pose for every substep — still shrinks the solver's own per-substep
         motion, but the collider jump stays unresolved; pass the previous
-        frame's scene to actually sweep it).
+        frame's scene to actually sweep it). ``aim_prev`` likewise sweeps
+        attachment targets; when omitted the end-of-step aim is held for
+        every substep (attachment-driven motion unswept — round-4 advice).
         """
         n = state.x.shape[0]
         if aim_pos is None:
@@ -979,13 +991,29 @@ class SoftBodyModel:
         if scene_prev is None:
             scene_prev = scene
         dt_sub = self.cfg.dt / k
+        # box orientations lerp as quaternions, not raw components: flip the
+        # previous quat into the same hemisphere as the current one (a q/-q
+        # sign flip between frames would otherwise lerp through near-zero
+        # norm) and renormalize after the lerp — quat_apply in the box SDF
+        # assumes unit norm (round-4 advice: nlerp, as the cfg comment says)
+        qp, qc = scene_prev.boxes[..., 3:7], scene.boxes[..., 3:7]
+        same_hemi = jnp.where((qp * qc).sum(-1, keepdims=True) < 0, -qp, qp)
+        scene_prev = dataclasses.replace(
+            scene_prev, boxes=scene_prev.boxes.at[..., 3:7].set(same_hemi)
+        )
+
+        a_prev = aim_pos if aim_prev is None else aim_prev
 
         def sub(st, tau):
             sc = jax.tree_util.tree_map(
                 lambda a, b: a + tau * (b - a), scene_prev, scene
             )
+            q = sc.boxes[..., 3:7]
+            q = q / jnp.sqrt((q**2).sum(-1, keepdims=True) + 1e-30)
+            sc = dataclasses.replace(sc, boxes=sc.boxes.at[..., 3:7].set(q))
+            aim = a_prev + tau * (aim_pos - a_prev)
             x, v = jax.vmap(self._step_single, in_axes=(0, 0, 0, 0, None))(
-                st.x, st.v, sc, aim_pos, dt_sub
+                st.x, st.v, sc, aim, dt_sub
             )
             return SoftBodyState(x=x, v=v), None
 

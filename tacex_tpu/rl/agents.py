@@ -35,7 +35,9 @@ _FACTORY_PPO = dict(
 # task id -> PPO kwargs (reference agents/ YAML per task)
 PPO_AGENT_CFGS: dict[str, dict] = {
     "TacEx-Ball-Rolling-Privileged-v0": _STATE_PPO,
-    "TacEx-Ball-Rolling-Privileged-Reset-With-IK-v0": _STATE_PPO,
+    # NB lowercase "with" — matches the registered id (reference casing:
+    # source/tacex_tasks/tacex_tasks/ball_rolling_privileged/__init__.py:40)
+    "TacEx-Ball-Rolling-Privileged-Reset-with-IK-v0": _STATE_PPO,
     "TacEx-Ball-Rolling-Privileged-Without-Reaching-v0": _STATE_PPO,
     "TacEx-Ball-Rolling-Tactile-Depth-v1": _VISION_PPO,
     "TacEx-Ball-Rolling-Tactile-RGB-v0": _VISION_PPO,
@@ -56,6 +58,10 @@ PPO_AGENT_CFGS: dict[str, dict] = {
     "TacEx-Grasp-Lift-Uipc-v0": dict(_STATE_PPO, value_preprocessor=True),
     "TacEx-Grasp-Lift-Uipc-Depth-v0": dict(_VISION_PPO, value_preprocessor=True),
     "TacEx-Grasp-Lift-Uipc-Tactile-v0": dict(_VISION_PPO, value_preprocessor=True),
+    # coupled-world Factory (FEM gel pads in the insertion station): Factory
+    # horizon/discount with the grasp-lift value scaler
+    "TacEx-Factory-PegInsert-Uipc-v0": dict(_FACTORY_PPO, value_preprocessor=True),
+    "TacEx-Factory-PegInsert-Uipc-Depth-v0": dict(_FACTORY_PPO, value_preprocessor=True),
 }
 
 # skrl_sac_cfg.yaml: batch 256, lr 1e-4 (state) / 5e-4 grad steps (vision)

@@ -264,10 +264,13 @@ class UipcObject:
             aim = None
         if not self.is_shell and scene_prev is not None:
             # FEM solver sweeps kinematic colliders prev->current when
-            # ccd_substeps > 1 (shell standalone path keeps the cheap call)
-            self.state = self._step(self.state, scene, aim, scene_prev)
+            # ccd_substeps > 1 (shell standalone path keeps the cheap call);
+            # attachment aims sweep alongside (round-4 advice)
+            aim_prev = getattr(self, "_aim_prev", None)
+            self.state = self._step(self.state, scene, aim, scene_prev, aim_prev)
         else:
             self.state = self._step(self.state, scene, aim)
+        self._aim_prev = aim
 
     # ------------------------------------------------------------------ views
     def surface_positions(self) -> jax.Array:

@@ -108,6 +108,37 @@ class TestGraspLift:
         assert int(np.asarray(st2.episode_length)[0]) == 0
         assert abs(float(np.asarray(st2.cube.q)[0, 0, 2])) < 1e-3
 
+    def test_missed_barrier_metric_default_on_and_trips(self):
+        """Default-on broad-phase observability (round-4 verdict item 5):
+        a healthy grasp logs Metric/missed_barriers == 0 (no pair carrying
+        meaningful barrier force was dropped), and an undersized capacity
+        (coupling_k=1: a face-contact vertex needs BOTH face triangles)
+        makes it fire nonzero during a hard squeeze."""
+        kw = dict(
+            num_envs=2, newton_iters=2, cg_iters=4, squeeze_rate=4e-3,
+            stagger_initial_episodes=False,
+        )
+        env = envs.make("TacEx-Grasp-Lift-Uipc-v0", **kw)
+        st = env.init_state(jax.random.PRNGKey(0))
+        st, _ = env.reset_all(st)
+        step = jax.jit(env.step)
+        a = jnp.tile(jnp.array([[1.0, 0.0]]), (2, 1))
+        healthy = []
+        for _ in range(12):
+            st, obs, rew, term, trunc, info = step(st, a)
+            healthy.append(float(info["log"]["Metric/missed_barriers"]))
+        assert max(healthy) == 0.0, healthy
+
+        env1 = envs.make("TacEx-Grasp-Lift-Uipc-v0", coupling_k=1, **kw)
+        st = env1.init_state(jax.random.PRNGKey(0))
+        st, _ = env1.reset_all(st)
+        step1 = jax.jit(env1.step)
+        tripped = []
+        for _ in range(12):
+            st, obs, rew, term, trunc, info = step1(st, a)
+            tripped.append(float(info["log"]["Metric/missed_barriers"]))
+        assert max(tripped) > 0.0, tripped
+
     def test_staggered_initial_episode_phases(self):
         """Default: reset_all randomizes per-env episode counters so the
         batch truncates out of phase (grasp-lift episodes rarely terminate

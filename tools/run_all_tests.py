@@ -22,8 +22,9 @@ DEFAULT_TIMEOUT = 600
 PER_FILE_TIMEOUTS = {
     "test_environments.py": 900,
     "test_taxim_optical.py": 600,
-    "test_grasp_lift.py": 900,  # coupled FEM+ABD Newton solves, 4 compiles
+    "test_grasp_lift.py": 1200,  # coupled FEM+ABD Newton solves, 5 compiles
     "test_unified_shell.py": 900,
+    "test_factory_uipc.py": 1200,  # scripted insertion at real solver iters
 }
 
 
