@@ -566,23 +566,39 @@ class GraspLiftEnv(DirectRLEnv):
         FOTS trajectory state, so observation extraction threads state."""
         comp = self._pad_compression(state.gel.x, state.squeeze)  # (N, 2, gh, gw)
         grip = comp.mean(axis=(2, 3))
-        proprio = jnp.concatenate(
+        # gripper-only proprio (6-dim): what a real gripper knows about
+        # itself — squeeze/lift commands, the sensor-derived grip estimate,
+        # last actions. The TACTILE variant sees ONLY this + the images:
+        # the reference's tactile envs keep object state out of proprio
+        # (ball_rolling_taxim_fots.py:391-394 — ee pose/goal/actions, never
+        # the ball pose; the object-state split is what "Privileged" means
+        # in the env family names). Until round 5 the tactile mode leaked
+        # cube pose+velocity here, undercutting the RL-from-tactile claim.
+        gripper_proprio = jnp.concatenate(
             [
-                state.cube.q[:, 0, :3],  # cube translation
-                state.cube.qd[:, 0, :3],  # cube velocity
                 state.squeeze[:, None] * 1e3,
                 state.lift[:, None] * 1e2,
                 grip,
                 state.actions,
             ],
             axis=-1,
+        )
+        proprio = jnp.concatenate(
+            [
+                state.cube.q[:, 0, :3],  # cube translation (privileged)
+                state.cube.qd[:, 0, :3],  # cube velocity (privileged)
+                gripper_proprio,
+            ],
+            axis=-1,
         )  # 12-dim
         if self.cfg.obs_mode == "privileged":
             return {"proprio_obs": proprio}, state, None
         if self.cfg.obs_mode == "depth":
-            # cheap mode: per-pad compression images as channels (N, gh, gw, 2)
+            # cheap mode: per-pad compression images as channels
+            # (N, gh, gw, 2) + gripper-only proprio — like the reference's
+            # depth-tactile envs, no object state in proprio
             vision = jnp.moveaxis(comp, 1, -1)
-            return {"proprio_obs": proprio, "vision_obs": vision}, state, None
+            return {"proprio_obs": gripper_proprio, "vision_obs": vision}, state, None
 
         # ---- tactile: the full GelSight stack on both pads
         n = self.cfg.num_envs
@@ -610,6 +626,7 @@ class GraspLiftEnv(DirectRLEnv):
             )
             rgb = rgb * dots[..., None]
         # two pads channel-stacked: (N, vh, vw, 6) — the factory-env
-        # two-finger layout (reference exposes two 32x32 tactile images)
+        # two-finger layout (reference exposes two 32x32 tactile images).
+        # Tactile mode is NON-privileged: gripper proprio + images only.
         vision = jnp.concatenate([rgb[:n], rgb[n:]], axis=-1)
-        return {"proprio_obs": proprio, "vision_obs": vision}, state, sensor_out
+        return {"proprio_obs": gripper_proprio, "vision_obs": vision}, state, sensor_out

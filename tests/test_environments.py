@@ -25,7 +25,10 @@ STEPS = 100
 # tests/test_grasp_lift.py at a scale that fits its own file budget.
 _OWN_SUITE = {
     "TacEx-Grasp-Lift-Uipc-v0",
+    "TacEx-Grasp-Lift-Uipc-Depth-v0",
     "TacEx-Grasp-Lift-Uipc-Tactile-v0",
+    "TacEx-Factory-PegInsert-Uipc-v0",  # tests/test_factory_uipc.py
+    "TacEx-Factory-PegInsert-Uipc-Depth-v0",
 }
 
 

@@ -155,6 +155,30 @@ class TestSAC:
         assert bool(jnp.isfinite(metrics["critic_loss"]))
         assert bool(jnp.isfinite(metrics["reward_per_step"]))
 
+    def test_sac_learns(self):
+        """SAC learning assertion mirroring TestPPO.test_learns (round-4
+        verdict item 7): a short SAC run on the privileged task must
+        IMPROVE reward-per-step, not just stay finite."""
+        from tacex_tpu.rl import SAC, SACConfig
+
+        env = envs.make("TacEx-Ball-Rolling-Privileged-v0", num_envs=16)
+        cfg = SACConfig(
+            buffer_size=20_000, batch_size=128, rollout_steps=8,
+            grad_steps=4, warmup_steps=256, hidden=(64, 64),
+            actor_lr=1e-3, critic_lr=1e-3,
+        )
+        sac = SAC(env, cfg)
+        ts = sac.init(jax.random.PRNGKey(5))
+        step = sac.jit_train_step()
+        rewards = []
+        for _ in range(30):
+            ts, metrics = step(ts)
+            rewards.append(float(metrics["reward_per_step"]))
+        rewards = np.asarray(rewards)
+        assert np.isfinite(rewards).all()
+        first, last = rewards[:8].mean(), rewards[-8:].mean()
+        assert last > first + 0.02, (first, last, rewards.round(3).tolist())
+
     def test_sac_act(self):
         from tacex_tpu.rl import SAC, SACConfig
 
