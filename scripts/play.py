@@ -31,7 +31,23 @@ def main() -> None:
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--save_frames", default=None, help="dir for vision-obs PNGs (env 0)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--env_cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="env cfg override (same surface as train.py — evaluate at the "
+        "training config, e.g. --env_cfg episode_length_s=10.0)",
+    )
     args = p.parse_args()
+
+    import ast
+
+    overrides = {}
+    for kv in args.env_cfg:
+        k, v = kv.split("=", 1)
+        try:
+            v = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            pass
+        overrides[k] = v
 
     from tacex_tpu.rl.agents import agent_cfg_for
 
@@ -40,9 +56,12 @@ def main() -> None:
     # every env's first episode early and biases returns low (round-4
     # advice) — switch it off where the env cfg has the knob
     try:
-        env = envs.make(args.task, num_envs=args.num_envs, stagger_initial_episodes=False)
+        env = envs.make(
+            args.task, num_envs=args.num_envs,
+            stagger_initial_episodes=False, **overrides,
+        )
     except TypeError:
-        env = envs.make(args.task, num_envs=args.num_envs)
+        env = envs.make(args.task, num_envs=args.num_envs, **overrides)
     # the per-task tuned config (same one train.py used) so the policy
     # network matches the checkpoint being restored
     ppo = PPO(env, agent_cfg_for(args.task, "ppo"))
@@ -60,15 +79,22 @@ def main() -> None:
     state = ts.env_state
     obs = ts.obs
     step_fn = jax.jit(env.step)
+    # jit the policy forward: eager net.apply dispatches per-op (over a
+    # remote-TPU tunnel that is seconds per step for a CNN)
+    act_fn = jax.jit(lambda p, o: ppo.act(p, o, deterministic=True))
     total_rew = np.zeros(args.num_envs)
     frames_dir = Path(args.save_frames) if args.save_frames else None
     if frames_dir:
         frames_dir.mkdir(parents=True, exist_ok=True)
 
+    metric_sums: dict = {}
     for i in range(args.steps):
-        action = ppo.act(params, obs, deterministic=True)
+        action = act_fn(params, obs)
         state, obs, reward, term, trunc, info = step_fn(state, action)
         total_rew += np.asarray(reward)
+        for k, v in info.get("log", {}).items():
+            if k.startswith("Metric/"):
+                metric_sums[k] = metric_sums.get(k, 0.0) + float(v)
         if frames_dir and "vision_obs" in obs:
             from PIL import Image
 
@@ -78,6 +104,8 @@ def main() -> None:
             img = (np.kron(np.clip(v, 0, 1), np.ones((8, 8, 1))) * 255).astype(np.uint8)
             Image.fromarray(img).save(frames_dir / f"frame_{i:04d}.png")
     print(f"mean episode return over {args.steps} steps: {total_rew.mean():.2f}")
+    for k, s in sorted(metric_sums.items()):
+        print(f"{k} (mean over rollout): {s / args.steps:.4f}")
 
 
 if __name__ == "__main__":
