@@ -28,6 +28,9 @@ PER_FILE_TIMEOUTS = {
     "test_grasp_lift.py": 1200,  # coupled FEM+ABD Newton solves, 5 compiles
     "test_unified_shell.py": 900,
     "test_factory_uipc.py": 1200,  # scripted insertion at real solver iters
+    # 12 example scenes, one subprocess + jit compile each; needs headroom
+    # when the host is shared (observed >600 s in the round-5 rehearsal)
+    "test_examples.py": 1200,
 }
 
 
